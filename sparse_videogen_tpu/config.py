@@ -1,0 +1,148 @@
+"""Static configuration objects.
+
+All configs are frozen dataclasses so they can be closed over by jitted
+functions (they are hashable trace-time constants). The reference wires the
+same knobs through argparse flags + class attributes on monkey-patched
+attention processors (svg/models/wan/inference.py:17-175); here they are
+first-class config values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+
+class SparseMode(str, enum.Enum):
+    DENSE = "dense"
+    SVG = "SVG"  # SVG1: spatial/temporal online profiling + static block mask
+    SAP = "SAP"  # SVG2: semantic-aware permutation (k-means) + dynamic map
+
+
+class TextPosition(str, enum.Enum):
+    """Where text/context tokens live inside the self-attention sequence.
+
+    Reference per-model layouts (SURVEY.md section 2.4):
+      Wan / Cosmos: text is cross-attended, none in self-attn  -> NONE
+      HunyuanVideo: seq = video tokens + 256 text tokens       -> LAST
+      CogVideoX:    seq = 226 text tokens + video tokens       -> FIRST
+    """
+
+    NONE = "none"
+    FIRST = "first"
+    LAST = "last"
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoLayout:
+    """Static token layout of a video DiT self-attention sequence."""
+
+    num_frames: int  # latent frame patches (post patchify)
+    frame_size: int  # tokens per latent frame (post patchify)
+    context_length: int = 0  # text tokens inside the self-attn sequence
+    text_position: TextPosition = TextPosition.NONE
+    prompt_length: int = 0  # actual prompt tokens (<= context_length); hyvideo
+
+    @property
+    def video_length(self) -> int:
+        return self.num_frames * self.frame_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.context_length + self.video_length
+
+    def __post_init__(self):
+        if self.context_length == 0:
+            object.__setattr__(self, "text_position", TextPosition.NONE)
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmupSchedule:
+    """Dense-attention warm-up escape hatch.
+
+    Mirrors the reference semantics (svg/models/wan/attention.py:299-309):
+    layers with index < first_layers (an absolute layer count) and steps with
+    timestep > first_times (an absolute timestep threshold on the 0..1000
+    flow-match timestep) run dense attention.
+
+    Use `from_fractions` to translate the reference's fractional CLI flags
+    (--first_layers_fp / --first_times_fp) exactly the way the entry scripts
+    do (wan_t2v_inference.py:84-97).
+    """
+
+    first_layers: int = 0
+    first_times: float = 1001.0  # timestep > this => dense. 1001 disables.
+
+    @staticmethod
+    def from_fractions(
+        first_layers_fp: float,
+        first_times_fp: float,
+        num_layers: int,
+        timesteps,  # descending array of scheduler timesteps (e.g. 0..1000)
+    ) -> "WarmupSchedule":
+        num_steps = len(timesteps)
+        num_fp_timesteps = math.floor(first_times_fp * num_steps)
+        num_fp_layers = math.floor(first_layers_fp * num_layers)
+        if num_fp_timesteps > 0:
+            first_times = float(timesteps[num_fp_timesteps - 1]) - 1.0
+        else:
+            first_times = 1001.0
+        return WarmupSchedule(first_layers=num_fp_layers, first_times=first_times)
+
+    def is_dense_layer(self, layer_idx: int) -> bool:
+        """Static (python-level) part of the warm-up decision."""
+        return layer_idx < self.first_layers
+
+
+@dataclasses.dataclass(frozen=True)
+class SVGConfig:
+    """SVG1 knobs (reference flags: wan_t2v_inference.py argparse)."""
+
+    num_sampled_rows: int = 64
+    sample_mse_max_row: int = 10000
+    sparsity: float = 0.25
+    # block granularity of the sliding-window mask; 128 matches both the
+    # reference's flex-attention mask rounding (wan/utils.py:29-34) and the
+    # TPU lane width.
+    block_size: int = 128
+    # block size of the emulated profiling masks (wan/utils.py:83)
+    profile_block_size: int = 128
+    # multiplier of the *profiling* masks is hard-coded to 2 frames in the
+    # reference (wan/utils.py:83 "block_thres = frame_size * 2")
+    profile_multiplier: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SAPConfig:
+    """SVG2 / semantic-aware-permutation knobs.
+
+    Reference flags: --num_q_centroids/--num_k_centroids/--top_p_kmeans/
+    --min_kc_ratio/--kmeans_iter_init/--kmeans_iter_step/
+    --zero_step_kmeans_init (wan_t2v_inference.py).
+    """
+
+    num_q_centroids: int = 50
+    num_k_centroids: int = 200
+    top_p_kmeans: float = 0.9
+    min_kc_ratio: float = 0.0
+    kmeans_iter_init: int = 50
+    kmeans_iter_step: int = 2
+    zero_step_kmeans_init: bool = False
+    # TPU-specific: clusters are padded to multiples of this block size during
+    # permutation so every attention block maps to exactly one cluster pair
+    # (replaces the reference's variable-block FlashInfer kernel with a
+    # block-aligned Pallas kernel; see SURVEY.md section 7 "hard parts").
+    block_q: int = 128
+    block_kv: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseAttentionConfig:
+    """Top-level sparse-attention config: mode + per-mode knobs + warmup."""
+
+    mode: SparseMode = SparseMode.DENSE
+    layout: VideoLayout | None = None
+    warmup: WarmupSchedule = WarmupSchedule()
+    svg: SVGConfig = SVGConfig()
+    sap: SAPConfig = SAPConfig()

@@ -1,0 +1,128 @@
+"""Batched Lloyd k-means over (B = cfg*heads) independent problems.
+
+Reference: batch_kmeans_Euclid (/root/reference/svg/kmeans_utils.py:685-734):
+assign = argmin ||x - c||^2 via ||x||^2 + ||c||^2 - 2 x.c, update = per-cluster
+mean with empty clusters keeping their old centroid
+(triton_centroid_update_sorted_euclid, kmeans_utils.py:375-421).
+
+TPU design notes:
+- The (B, N, K) distance tensor at production shapes (40 x 75k x 1000 f32)
+  would not fit in HBM; assignment is chunked over N (lax.map) so only
+  (B, chunk, K) is live. ops/kmeans_pallas.py fuses assign + centroid
+  accumulation into a single Pallas pass over x.
+- Centroid update is a segment-sum expressed as chunked one-hot matmuls
+  (MXU-friendly) rather than a scatter-add.
+- Iteration count is static (fori_loop); the reference's tol-based early stop
+  (kmeans_utils.py:719-726) is a latency optimization that forces a host
+  sync — with the production settings (iter_init=50 once, iter_step=2) the
+  fixed count matches the intended cost envelope.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _assign_chunk(x_chunk, x_sq_chunk, centroids, c_sq):
+    """x_chunk: (B, n, D); centroids: (B, K, D) -> labels (B, n) int32."""
+    cross = jnp.einsum(
+        "bnd,bkd->bnk", x_chunk, centroids, preferred_element_type=jnp.float32
+    )
+    dist = x_sq_chunk[..., None] + c_sq[:, None, :] - 2.0 * cross
+    return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+
+def kmeans_assign(x, centroids, *, chunk: int = 4096):
+    """Nearest-centroid labels, chunked over N. x: (B,N,D) -> (B,N) int32."""
+    B, N, D = x.shape
+    xf = x.astype(jnp.float32)
+    cf = centroids.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=-1)
+    c_sq = jnp.sum(cf * cf, axis=-1)
+    if N <= chunk:
+        return _assign_chunk(xf, x_sq, cf, c_sq)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    xp = jnp.pad(xf, ((0, 0), (0, pad), (0, 0)))
+    xsp = jnp.pad(x_sq, ((0, 0), (0, pad)))
+    xp = xp.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    xsp = xsp.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    labels = jax.lax.map(lambda args: _assign_chunk(args[0], args[1], cf, c_sq), (xp, xsp))
+    labels = labels.transpose(1, 0, 2).reshape(B, n_chunks * chunk)
+    return labels[:, :N]
+
+
+def centroid_update(x, labels, old_centroids, *, chunk: int = 4096):
+    """Per-cluster mean via chunked one-hot matmul segment-sum.
+
+    Empty clusters keep old centroids (kmeans_utils.py:419-420).
+    Returns (new_centroids same dtype as x, counts (B,K) int32).
+    """
+    B, N, D = x.shape
+    K = old_centroids.shape[1]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    # padded tokens point at cluster K (out of range -> dropped by one_hot)
+    lp = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=K)
+    xp = xp.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    lp = lp.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(carry, args):
+        sums, counts = carry
+        xc, lc = args
+        onehot = jax.nn.one_hot(lc, K, dtype=jnp.float32)  # (B, chunk, K)
+        sums = sums + jnp.einsum("bnk,bnd->bkd", onehot, xc, preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=1)
+        return (sums, counts), None
+
+    init = (jnp.zeros((B, K, D), jnp.float32), jnp.zeros((B, K), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(body, init, (xp, lp))
+    means = sums / jnp.maximum(counts, 1.0)[..., None]
+    new = jnp.where((counts == 0)[..., None], old_centroids.astype(jnp.float32), means)
+    return new.astype(x.dtype), counts.astype(jnp.int32)
+
+
+def init_centroids(x, n_clusters: int, rng):
+    """Random tokens as initial centroids (kmeans_utils.py:707-709)."""
+    B, N, D = x.shape
+    idx = jax.random.randint(rng, (B, n_clusters), 0, N)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk"))
+def batch_kmeans(x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk: int = 4096):
+    """Run `max_iters` Lloyd iterations from `init` centroids.
+
+    Matches the reference loop structure (kmeans_utils.py:713-726): each
+    iteration assigns against the *current* centroids then updates them, so
+    the returned labels/sizes correspond to the pre-update centroids of the
+    last iteration while the returned centroids are post-update. max_iters=0
+    degenerates to a single assignment against `init` (the reference would
+    crash there; we define it as assign-only).
+
+    Returns (labels (B,N) int32, centroids (B,K,D), cluster_sizes (B,K) int32).
+    """
+    B, N, D = x.shape
+    init = init.astype(x.dtype)
+    if max_iters <= 0:
+        labels = kmeans_assign(x, init, chunk=chunk)
+        _, sizes = centroid_update(x, labels, init, chunk=chunk)
+        return labels, init, sizes
+
+    def body(_, carry):
+        c, _labels, _sizes = carry
+        labels = kmeans_assign(x, c, chunk=chunk)
+        new, sizes = centroid_update(x, labels, c, chunk=chunk)
+        return new, labels, sizes
+
+    carry = (
+        init,
+        jnp.zeros((B, N), jnp.int32),
+        jnp.zeros((B, n_clusters), jnp.int32),
+    )
+    centroids, labels, sizes = jax.lax.fori_loop(0, max_iters, body, carry)
+    return labels, centroids, sizes
