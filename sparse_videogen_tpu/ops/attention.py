@@ -1,0 +1,265 @@
+"""Universal block-sparse flash attention (Pallas, TPU).
+
+One kernel serves dense, SVG1 (static band+sink), and SVG2/SAP (per-head
+dynamic cluster map): only the chunked CSR metadata (ops/metadata.py) and
+the elementwise MaskSpec differ. It replaces four reference backends —
+FlexAttention block masks, FlashInfer fixed-BSR, the patched FlashInfer
+VariableBlockSparseAttentionWrapper, and dense flash attention (full
+metadata) — see SURVEY.md section 2.1.
+
+Per grid step (= one (batch*head, q-block row)):
+  1. DMA the row's metadata [n, (idx, win), ...] HBM -> SMEM (8-row group,
+     since int32 HBM tiling is (8,128)).
+  2. fori_loop with *data-dependent* trip count n — work scales with the
+     number of active chunks, not the worst case.
+  3. Each chunk = block_kv tokens of packed [K|V] starting at any 128-aligned
+     offset, fetched with ONE double-buffered DMA (K and V are stored
+     interleaved as (BH, Skv, 2D) so a chunk is a single contiguous slab).
+  4. Online softmax with f32 running (acc, m, l) kept as loop carries in
+     vector registers — measured 1.45x over VMEM-scratch accumulators, which
+     pay an (block_q, D) f32 read+write per chunk.
+  5. Masking: per-entry [lo, hi) column window (sequence tails, SAP cluster
+     padding, array-end shifts) + optional MaskSpec token-level predicate
+     (reproduces the reference flex mask_mods exactly, incl. partial blocks).
+
+Measured on v5e (S=32k, 12 heads, D=128, bf16, dense metadata):
+104-107 TFLOPs at block_q=512..1024, block_kv=512 (~54% peak; the no-softmax
+matmul+DMA pipeline reaches 122).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec
+from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE, SUB
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def pack_kv(k, v):
+    """(BH, S, D) x2 -> (BH, S, 2D) interleaved [K|V] for single-DMA chunks."""
+    return jnp.concatenate([k, v], axis=-1)
+
+
+def _kernel(
+    # inputs
+    aux_ref,  # SMEM (4,) int32 dynamic mask scalars
+    meta_hbm,  # HBM (R, nQ8, L) int32
+    q_ref,  # VMEM (1, block_q, D)
+    kv_ref,  # ANY/HBM (BH, Skv, 2D)
+    # outputs
+    o_ref,  # VMEM (1, block_q, D)
+    # scratch
+    meta_ref,  # SMEM (8, L)
+    kvbuf,  # VMEM (nbuf, block_kv, 2D)
+    meta_sem,
+    kv_sems,  # DMA sems (nbuf,)
+    *,
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    mask_spec: MaskSpec,
+    scale: float,
+    meta_rows: int,
+    nbuf: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    b_meta = 0 if meta_rows == 1 else b
+    D = head_dim
+
+    # int32 HBM buffers are tiled (8, 128): fetch the aligned 8-row group.
+    grp = (i // 8) * 8
+    sub = i % 8
+    meta_dma = lambda: pltpu.make_async_copy(
+        meta_hbm.at[b_meta, pl.ds(grp, 8), :], meta_ref, meta_sem
+    )
+    meta_dma().start()
+    meta_dma().wait()
+    n = meta_ref[sub, 0]
+
+    def kv_copy(slot, j):
+        idx = meta_ref[sub, 1 + 2 * j]
+        return pltpu.make_async_copy(
+            kv_ref.at[b, pl.ds(idx * SUB, block_kv), :],
+            kvbuf.at[slot],
+            kv_sems.at[slot],
+        )
+
+    for w in range(nbuf - 1):
+
+        @pl.when(w < n)
+        def _():
+            kv_copy(w % nbuf, w).start()
+
+    def body(j, carry):
+        acc, m, l = carry
+        slot = j % nbuf
+
+        @pl.when(j + nbuf - 1 < n)
+        def _():
+            kv_copy((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
+
+        idx = meta_ref[sub, 1 + 2 * j]
+        win = meta_ref[sub, 2 + 2 * j]
+        lo = win // ENTRY_SCALE
+        hi = win % ENTRY_SCALE
+
+        kv_copy(slot, j).wait()
+        k_blk = kvbuf[slot][:, :D]
+        v_blk = kvbuf[slot][:, D:]
+        q = q_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        allowed = (col >= lo) & (col < hi)
+        if mask_spec.kind != "none":
+            qpos = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            kpos = idx * SUB + col
+            allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        # rows fully masked within this chunk: s == m_new == NEG_INF -> p=1;
+        # kill explicitly so they contribute nothing.
+        p = jnp.where(allowed, p, 0.0)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype),
+            v_blk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return (acc, m_new, l)
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret"),
+)
+def block_sparse_attention_kv(
+    q,  # (BH, Sq, D), Sq % block_q == 0
+    kv,  # (BH, Skv, 2D) packed [K|V], Skv % 128 == 0, Skv >= block_kv
+    meta,  # (R, nQ, 1 + 2*cap) int32, R in {1, BH}
+    aux=None,  # (4,) int32 dynamic mask scalars (or None)
+    *,
+    block_q: int = 512,
+    block_kv: int = 512,
+    mask_spec: MaskSpec = MaskSpec(),
+    scale: float | None = None,
+    nbuf: int = 2,
+    interpret: bool | None = None,
+):
+    BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
+    D = D2 // 2
+    Skv = kv.shape[1]
+    assert q.shape[2] == D, (q.shape, kv.shape)
+    assert Sq % block_q == 0 and Skv % SUB == 0 and Skv >= block_kv
+    nQ = Sq // block_q
+    R = meta.shape[0]
+    assert meta.shape[1] == nQ and R in (1, BH), (meta.shape, BH, nQ)
+    # pad metadata rows (HBM (8,128) int32 tiling needs row groups of 8 and
+    # 128-multiple row length)
+    row_len = meta.shape[-1]
+    row_pad = -(-row_len // 128) * 128
+    nq_pad = -(-nQ // 8) * 8
+    if row_pad != row_len or nq_pad != nQ:
+        meta = jnp.pad(meta, ((0, 0), (0, nq_pad - nQ), (0, row_pad - row_len)))
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if aux is None:
+        aux = jnp.zeros((4,), jnp.int32)
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    kernel = functools.partial(
+        _kernel,
+        block_q=block_q,
+        block_kv=block_kv,
+        head_dim=D,
+        mask_spec=mask_spec,
+        scale=scale,
+        meta_rows=R,
+        nbuf=nbuf,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, nQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
+            pl.BlockSpec(memory_space=pltpu.HBM),  # meta
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # kv
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((8, row_pad), jnp.int32),
+            pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(aux, meta, q, kv)
+
+
+def block_sparse_attention(q, k, v, meta, aux=None, **kw):
+    """Convenience wrapper taking separate K/V (packs into one [K|V] array)."""
+    return block_sparse_attention_kv(q, pack_kv(k, v), meta, aux, **kw)
+
+
+def block_sparse_attention_reference(
+    q, k, v, meta, aux=None, *, block_q=512, block_kv=512, mask_spec=MaskSpec(), scale=None, **_,
+):
+    """Pure-jnp oracle: decode metadata -> dense mask -> masked attention.
+
+    Small shapes only (materializes Sq x Skv); used by tests.
+    """
+    import numpy as np
+
+    from sparse_videogen_tpu.core.attention_ref import masked_attention
+    from sparse_videogen_tpu.ops.metadata import decode_meta
+
+    BH, Sq, D = q.shape
+    Skv = k.shape[1]
+    nQ = Sq // block_q
+    mask = decode_meta(meta, block_kv=block_kv, seq_kv=Skv)  # (R, nQ, Skv)
+    R = mask.shape[0]
+    mask = np.repeat(mask, block_q, axis=1)  # (R, Sq, Skv)
+    qpos = np.arange(Sq)[:, None]
+    kpos = np.arange(Skv)[None, :]
+    pred = apply_mask_spec(mask_spec, jnp.asarray(qpos), jnp.asarray(kpos), aux)
+    if pred is not None:
+        mask = mask & np.asarray(pred)[None]
+    if R == 1 and BH > 1:
+        mask = np.broadcast_to(mask, (BH, Sq, Skv))
+    return masked_attention(q, k, v, jnp.asarray(mask), scale=scale)

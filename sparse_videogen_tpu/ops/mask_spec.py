@@ -1,0 +1,59 @@
+"""Elementwise execution-mask predicates applied inside the attention kernel.
+
+The CSR metadata (ops/metadata.py) is only the block-level skeleton — the
+set of kv blocks each q-block row visits. Within every visited block the
+kernel evaluates the *exact token-level* predicate below, which reproduces
+the reference's flex-attention mask_mods bit-for-bit (including partial
+blocks, which flex also masks elementwise):
+
+  band_sink: /root/reference/svg/models/wan/utils.py:25-41
+             |q - kv| <= round128(mul*frame_size)  OR  kv < frame_size
+  hyvideo:   /root/reference/svg/models/hyvideo/utils.py:20-44
+             real/fake padding split + band + text rows/cols
+  cog:       /root/reference/svg/models/cog/utils.py (text-first rows/cols)
+  none:      SAP / dense — only per-block valid counts apply.
+
+Static ints live in the spec (shape-derived); prompt-dependent thresholds
+arrive via the `aux` int32 vector so changing the prompt never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskSpec:
+    kind: str = "none"  # none | band_sink | hyvideo | cog
+    band_width: int = 0  # strict <. For the reference's <= W pass W + 1.
+    sink_size: int = 0  # band_sink: kv < sink_size always attended
+    video_len: int = 0  # hyvideo: static video token count
+
+    def needs_aux(self) -> bool:
+        return self.kind in ("hyvideo", "cog")
+
+
+def apply_mask_spec(spec: MaskSpec, qpos, kpos, aux):
+    """qpos, kpos: broadcastable int32 arrays of global positions.
+
+    Returns bool array (True = attend) or None when kind == "none".
+    """
+    if spec.kind == "none":
+        return None
+    band = jnp.abs(qpos - kpos) < spec.band_width
+    if spec.kind == "band_sink":
+        return band | (kpos < spec.sink_size)
+    if spec.kind == "cog":
+        plen = aux[0]
+        return band | (kpos < plen) | (qpos < plen)
+    if spec.kind == "hyvideo":
+        real = aux[0]  # video_len + prompt_length
+        vid = spec.video_len
+        real_pair = (qpos < real) & (kpos < real)
+        fake_pair = (qpos >= real) & (kpos >= real)
+        text_col = (kpos >= vid) & (kpos < real)
+        text_row = (qpos >= vid) & (qpos < real)
+        return (real_pair & (band | text_col | text_row)) | fake_pair
+    raise ValueError(f"unknown mask kind {spec.kind}")

@@ -1,0 +1,201 @@
+"""Chunked CSR metadata for the universal block-sparse attention kernel.
+
+The kernel consumes, per (row r, q-block i), an int32 vector
+    meta[r, i, :] = [n, idx_0, win_0, idx_1, win_1, ...]
+where each entry describes one KV *chunk*:
+  - idx: start of the chunk in 128-token sub-blocks (chunks may start at any
+    128-aligned offset; the DMA size is the static block_kv).
+  - win = lo * 1024 + hi: allowed columns are [lo, hi) within the chunk
+    (everything outside is masked to -inf). This encodes sequence-tail
+    padding, SAP cluster padding, and array-end DMA shifts exactly.
+
+Rows R: 1 (mask shared across heads — dense, SVG1; the reference's flex
+block mask is also head-shared, wan/attention.py:321) or B*H (SVG2's
+per-head dynamic map).
+
+This layer replaces the reference's FlashInfer BSR plan() and its patched
+Triton index expansion (assets/patches/modifications.patch): the "plan" is
+pure integer math, on-device and jit-able (jnp builder) or at trace time
+(numpy builder for static masks).
+
+Chunking model: the 128-sub-block level mask is decomposed into *runs* of
+consecutive visited sub-blocks; a run breaks after any partially-valid
+sub-block (so each chunk's valid tokens are a contiguous [lo, hi) window).
+Runs are cut into chunks of block_kv tokens — long runs (dense, SVG1 bands)
+execute at full-tile efficiency, fragmented runs (SAP small clusters)
+degrade gracefully to single-sub-block chunks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+SUB = 128  # sub-block granularity (alignment of chunk starts)
+ENTRY_SCALE = 1024
+ENTRY_STRIDE = 2
+
+
+def pack_window(lo, hi):
+    return lo * ENTRY_SCALE + hi
+
+
+def meta_row_len(cap: int) -> int:
+    return 1 + ENTRY_STRIDE * cap
+
+
+def chunk_meta_np(mask: np.ndarray, counts: np.ndarray, *, block_kv: int, cap: int | None = None) -> np.ndarray:
+    """Numpy (trace-time) builder.
+
+    Args:
+      mask: (R, nQ, nsub) bool over 128-token sub-blocks.
+      counts: (R, nsub) int32 valid tokens per sub-block (0..128).
+      block_kv: chunk size in tokens (multiple of 128, <= 512).
+      cap: max entries per row (default: exact worst case of this mask).
+
+    Returns meta (R, nQ, 1 + 2*cap) int32.
+    """
+    R, nQ, nsub = mask.shape
+    C = block_kv // SUB
+    rows = []
+    max_n = 0
+    for r in range(R):
+        for i in range(nQ):
+            entries = []
+            j = 0
+            while j < nsub:
+                if not (mask[r, i, j] and counts[r, j] > 0):
+                    j += 1
+                    continue
+                # walk a run: consecutive visited sub-blocks, break after partial
+                start = j
+                span = 0
+                valid = 0
+                while (
+                    j < nsub
+                    and span < C
+                    and mask[r, i, j]
+                    and counts[r, j] > 0
+                ):
+                    valid += int(counts[r, j])
+                    partial = counts[r, j] < SUB
+                    span += 1
+                    j += 1
+                    if partial:
+                        break
+                idx = min(start, nsub - C)  # keep the DMA inside the array
+                lo = (start - idx) * SUB
+                entries.append((idx, pack_window(lo, lo + valid)))
+            rows.append(entries)
+            max_n = max(max_n, len(entries))
+    if cap is None:
+        cap = max_n
+    meta = np.zeros((R, nQ, meta_row_len(cap)), np.int32)
+    it = iter(rows)
+    for r in range(R):
+        for i in range(nQ):
+            entries = next(it)[:cap]
+            meta[r, i, 0] = len(entries)
+            for e, (idx, win) in enumerate(entries):
+                meta[r, i, 1 + 2 * e] = idx
+                meta[r, i, 2 + 2 * e] = win
+    return meta
+
+
+def chunk_meta_jnp(mask, counts, *, block_kv: int, cap: int):
+    """Traced builder — same semantics as chunk_meta_np.
+
+    mask: (R, nQ, nsub) bool; counts: (R, nsub) int32.
+    Runs are detected with a cumulative-max trick; chunk starts are run
+    origins plus multiples of C; per-chunk valid counts are unrolled sums of
+    up to C sub-block counts within the same run.
+    """
+    R, nQ, nsub = mask.shape
+    C = block_kv // SUB
+    counts = counts.astype(jnp.int32)
+    full = counts >= SUB  # (R, nsub)
+    v = mask & (counts > 0)[:, None, :]  # (R, nQ, nsub)
+
+    prev_v = jnp.concatenate([jnp.zeros_like(v[..., :1]), v[..., :-1]], axis=-1)
+    prev_full = jnp.concatenate(
+        [jnp.zeros_like(full[..., :1]), full[..., :-1]], axis=-1
+    )[:, None, :]
+    run_start = v & (~prev_v | ~prev_full)
+
+    j = jnp.arange(nsub, dtype=jnp.int32)
+    rs_pos = jnp.where(run_start, j, -1)
+    run_origin = jax.lax.associative_scan(jnp.maximum, rs_pos, axis=-1)
+    chunk_start = v & ((j - run_origin) % C == 0)
+
+    # valid tokens of the chunk starting at j: sum counts[j+k] while the k-th
+    # sub-block is still in the same run. Runs break after partial sub-blocks,
+    # so "same run" already implies all earlier sub-blocks of the chunk are
+    # full — the valid window stays a contiguous prefix.
+    valid = jnp.zeros(v.shape, jnp.int32)
+    for k in range(C):
+        if k == 0:
+            c_k = counts[:, None, :]
+            same = v
+        else:
+            c_k = jnp.concatenate(
+                [counts[:, k:], jnp.zeros((R, k), jnp.int32)], axis=-1
+            )[:, None, :]
+            v_k = jnp.concatenate([v[..., k:], jnp.zeros_like(v[..., :k])], axis=-1)
+            o_k = jnp.concatenate(
+                [run_origin[..., k:], jnp.full_like(run_origin[..., :k], -2)], axis=-1
+            )
+            same = v_k & (o_k == run_origin)
+        valid = valid + jnp.where(same, c_k, 0)
+
+    idx_eff = jnp.minimum(j, nsub - C)
+    lo = (j - idx_eff) * SUB
+    win = pack_window(lo, lo + valid)
+
+    # CSR compaction of chunk_start positions
+    pos = jnp.cumsum(chunk_start, axis=-1, dtype=jnp.int32) - 1
+    n = jnp.minimum(pos[..., -1] + 1, cap).astype(jnp.int32)
+    eff = jnp.where(chunk_start & (pos < cap), pos, cap)
+    out = jnp.zeros((R, nQ, cap + 1, 2), jnp.int32)
+    r_idx = jnp.arange(R)[:, None, None]
+    q_idx = jnp.arange(nQ)[None, :, None]
+    payload = jnp.stack([jnp.broadcast_to(idx_eff, win.shape), win], axis=-1)
+    out = out.at[r_idx, q_idx, eff].set(payload)
+    entries = out[:, :, :cap].reshape(R, nQ, 2 * cap)
+    return jnp.concatenate([n[..., None], entries], axis=-1)
+
+
+import jax  # noqa: E402  (used by chunk_meta_jnp)
+
+
+def dense_meta(seq_q: int, seq_kv: int, *, block_q: int, block_kv: int) -> np.ndarray:
+    """Metadata visiting every kv token (dense attention), R=1."""
+    nQ = -(-seq_q // block_q)
+    nsub = -(-seq_kv // SUB)
+    counts = np.minimum(SUB, seq_kv - np.arange(nsub) * SUB).astype(np.int32)[None]
+    return chunk_meta_np(np.ones((1, nQ, nsub), bool), counts, block_kv=block_kv)
+
+
+def kv_counts_for_seq(seq_real: int, seq_pad: int | None = None) -> np.ndarray:
+    """Per-sub-block valid counts for a real length inside a padded buffer."""
+    nsub = -(-(seq_pad or seq_real) // SUB)
+    return np.clip(seq_real - np.arange(nsub) * SUB, 0, SUB).astype(np.int32)[None]
+
+
+def decode_meta(meta, *, block_kv: int, seq_kv: int):
+    """Decode metadata -> per-row boolean token mask (tests only).
+
+    Returns (R, nQ, seq_kv) bool.
+    """
+    meta = np.asarray(meta)
+    R, nQ, _ = meta.shape
+    out = np.zeros((R, nQ, seq_kv), bool)
+    for r in range(R):
+        for i in range(nQ):
+            n = meta[r, i, 0]
+            for e in range(n):
+                idx = meta[r, i, 1 + 2 * e]
+                win = meta[r, i, 2 + 2 * e]
+                lo, hi = win // ENTRY_SCALE, win % ENTRY_SCALE
+                base = idx * SUB
+                out[r, i, base + lo : base + hi] = True
+    return out

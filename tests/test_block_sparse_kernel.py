@@ -1,0 +1,160 @@
+"""Universal Pallas block-sparse attention vs jnp oracles (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_videogen_tpu.core.attention_ref import dense_attention, masked_attention
+from sparse_videogen_tpu.ops import metadata as MD
+from sparse_videogen_tpu.ops.attention import (
+    MaskSpec,
+    block_sparse_attention,
+    block_sparse_attention_reference,
+)
+
+
+def rand_qkv(rng, BH, Sq, Skv, D, dtype=np.float32):
+    q = rng.standard_normal((BH, Sq, D)).astype(dtype)
+    k = rng.standard_normal((BH, Skv, D)).astype(dtype)
+    v = rng.standard_normal((BH, Skv, D)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def rand_mask_counts(rng, R, nQ, nsub, density=0.6, partial_frac=0.3):
+    mask = rng.random((R, nQ, nsub)) < density
+    mask[..., 0] = True
+    counts = np.where(
+        rng.random((R, nsub)) < partial_frac,
+        rng.integers(1, MD.SUB, (R, nsub)),
+        MD.SUB,
+    ).astype(np.int32)
+    return mask, counts
+
+
+@pytest.mark.parametrize("bq,bkv", [(128, 128), (128, 512), (256, 256)])
+def test_dense_meta_matches_dense_attention(bq, bkv):
+    rng = np.random.default_rng(0)
+    BH, S, D = 2, 512, 64
+    q, k, v = rand_qkv(rng, BH, S, S, D)
+    meta = jnp.asarray(MD.dense_meta(S, S, block_q=bq, block_kv=bkv))
+    out = block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv)
+    ref = dense_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed,R_shared,bkv", [(0, True, 256), (1, False, 512), (2, False, 256)])
+def test_random_subblock_mask(seed, R_shared, bkv):
+    rng = np.random.default_rng(seed)
+    BH, Sq, Skv, D, bq = 3, 256, 1024, 32, 128
+    q, k, v = rand_qkv(rng, BH, Sq, Skv, D)
+    nQ, nsub = Sq // bq, Skv // MD.SUB
+    R = 1 if R_shared else BH
+    mask, counts = rand_mask_counts(rng, R, nQ, nsub)
+    meta = jnp.asarray(MD.chunk_meta_np(mask, counts, block_kv=bkv))
+    out = block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv)
+    ref = block_sparse_attention_reference(q, k, v, meta, block_q=bq, block_kv=bkv)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    # decoded token mask must equal (mask expanded & counts prefix): no
+    # overlaps, no drops
+    dec = MD.decode_meta(meta, block_kv=bkv, seq_kv=Skv)
+    tok = np.repeat(mask, MD.SUB, axis=2) & (
+        (np.arange(Skv) % MD.SUB)[None, None, :] < np.repeat(counts, MD.SUB, axis=1)[:, None, :]
+    )
+    np.testing.assert_array_equal(dec, tok)
+
+
+@pytest.mark.parametrize("bkv", [256, 512])
+def test_chunk_meta_jnp_equals_np(bkv):
+    rng = np.random.default_rng(3)
+    R, nQ, nsub = 2, 5, 16
+    mask, counts = rand_mask_counts(rng, R, nQ, nsub, density=0.5)
+    cap = nsub
+    a = MD.chunk_meta_np(mask, counts, block_kv=bkv, cap=cap)
+    b = np.asarray(
+        MD.chunk_meta_jnp(jnp.asarray(mask), jnp.asarray(counts), block_kv=bkv, cap=cap)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_band_sink_mask_spec():
+    rng = np.random.default_rng(4)
+    BH, S, D, bq, bkv = 2, 1024, 32, 128, 256
+    q, k, v = rand_qkv(rng, BH, S, S, D)
+    spec = MaskSpec(kind="band_sink", band_width=129, sink_size=100)
+    nsub = S // MD.SUB
+    qi = np.arange(S // bq)[:, None] * bq
+    ki = np.arange(nsub)[None, :] * MD.SUB
+    gap = np.maximum(np.maximum(ki - (qi + bq - 1), qi - (ki + MD.SUB - 1)), 0)
+    bmask = (gap < 129) | (ki < 100)
+    counts = np.full((1, nsub), MD.SUB, np.int32)
+    meta = jnp.asarray(MD.chunk_meta_np(bmask[None], counts, block_kv=bkv))
+    out = block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv, mask_spec=spec)
+
+    tq = np.arange(S)[:, None]
+    tk = np.arange(S)[None, :]
+    tmask = (np.abs(tq - tk) < 129) | (tk < 100)
+    ref = masked_attention(q, k, v, jnp.asarray(tmask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_empty_rows_produce_zeros():
+    rng = np.random.default_rng(5)
+    BH, S, D, bq, bkv = 1, 256, 32, 128, 128
+    q, k, v = rand_qkv(rng, BH, S, S, D)
+    bmask = np.zeros((1, 2, 2), bool)
+    bmask[0, 0, 0] = True  # row 1 has no active blocks
+    meta = jnp.asarray(
+        MD.chunk_meta_np(bmask, np.full((1, 2), 128, np.int32), block_kv=bkv, cap=2)
+    )
+    out = np.asarray(block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv))
+    assert np.all(out[:, bq:] == 0)
+    assert np.all(np.isfinite(out))
+
+
+def test_bfloat16():
+    rng = np.random.default_rng(6)
+    BH, S, D = 2, 1024, 64
+    q, k, v = rand_qkv(rng, BH, S, S, D)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    meta = jnp.asarray(MD.dense_meta(S, S, block_q=256, block_kv=512))
+    out = block_sparse_attention(qb, kb, vb, meta, block_q=256, block_kv=512)
+    ref = dense_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.08, atol=0.03
+    )
+
+
+def test_partial_tail_and_array_end_shift():
+    """Real kv length not a chunk multiple: tail window + shifted DMA start."""
+    rng = np.random.default_rng(7)
+    BH, S_real, D, bq, bkv = 1, 300, 32, 128, 512
+    S_pad = 512
+    q, k, v = rand_qkv(rng, BH, S_pad, S_pad, D)
+    counts = MD.kv_counts_for_seq(S_real, S_pad)  # [128, 128, 44, 0]
+    nsub = S_pad // MD.SUB
+    bmask = np.ones((1, S_pad // bq, nsub), bool)
+    meta = jnp.asarray(MD.chunk_meta_np(bmask, counts, block_kv=bkv))
+    out = np.asarray(block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv))
+    ref = np.asarray(dense_attention(q, k[:, :S_real], v[:, :S_real]))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_scattered_singleton_runs():
+    """SAP-like fragmentation: isolated partial sub-blocks far apart."""
+    rng = np.random.default_rng(8)
+    BH, Skv, D, bq, bkv = 1, 2048, 32, 128, 512
+    Sq = 128
+    q, k, v = rand_qkv(rng, BH, Sq, Skv, D)
+    nsub = Skv // MD.SUB
+    mask = np.zeros((1, 1, nsub), bool)
+    mask[0, 0, [0, 5, 9, 15]] = True  # includes the last sub-block (end shift)
+    counts = np.full((1, nsub), MD.SUB, np.int32)
+    counts[0, [5, 15]] = 37
+    meta = jnp.asarray(MD.chunk_meta_np(mask, counts, block_kv=bkv))
+    out = np.asarray(block_sparse_attention(q, k, v, meta, block_q=bq, block_kv=bkv))
+    tok = np.zeros(Skv, bool)
+    for sb in [0, 5, 9, 15]:
+        tok[sb * 128 : sb * 128 + counts[0, sb]] = True
+    ref = np.asarray(masked_attention(q, k, v, jnp.asarray(tok[None, None, :])))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
