@@ -1,0 +1,5 @@
+"""Flow-matching samplers (functional: host-side coefficient tables +
+pure-jax step updates)."""
+
+from sparse_videogen_tpu.schedulers.euler import FlowMatchEuler  # noqa: F401
+from sparse_videogen_tpu.schedulers.unipc import FlowUniPC  # noqa: F401

@@ -1,0 +1,108 @@
+"""Attention runtimes: first-class dense / SVG1 / SAP self-attention.
+
+The reference integrates sparsity by monkey-patching diffusers attention
+processors (svg/models/wan/inference.py:124-175). Here a *runtime* object is
+passed into the model forward; it is called once per transformer block inside
+a lax.scan, so the per-layer warm-up check and the per-head decisions are all
+traced control flow — one compiled block serves every layer.
+
+Runtime protocol:
+  consts() -> pytree of device arrays (static metadata). MUST be threaded
+      into the enclosing jit as a real argument — never a closure constant —
+      because the kernel's HBM DMA requires parameter layout (see
+      sparse/svg1.py svg1_sparse_impl docstring).
+  init_state(batch_heads, head_dim, n_layers) -> per-layer state pytree with
+      leading dim n_layers (scanned as xs/ys through the block loop)
+  __call__(q, k, v, t, rng, layer_idx, state, consts) -> (out, new_state)
+      q,k,v: (B, H, S, D); t: scalar timestep (0..1000); layer_idx: traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from sparse_videogen_tpu.config import SAPConfig, VideoLayout, WarmupSchedule
+from sparse_videogen_tpu.sparse.svg1 import SVG1Plan, dense_impl, svg1_sparse_impl
+from sparse_videogen_tpu.sparse.svg2 import SAPState, init_sap_state, sap_cluster, sap_sparse_attention
+
+
+def _empty_state(n_layers):
+    return jnp.zeros((n_layers, 0), jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseRuntime:
+    plan: SVG1Plan  # only dense_meta/layout/block sizes are used
+
+    def consts(self):
+        return {"dense_meta": self.plan.dense_meta()}
+
+    def init_state(self, batch_heads, head_dim, n_layers):
+        return _empty_state(n_layers)
+
+    def __call__(self, q, k, v, t, rng, layer_idx, state, consts):
+        return dense_impl(q, k, v, consts["dense_meta"], self.plan), state
+
+
+@dataclasses.dataclass(frozen=True)
+class SVG1Runtime:
+    plan: SVG1Plan
+
+    def consts(self):
+        return {"dense_meta": self.plan.dense_meta(), "sparse_meta": self.plan.sparse_meta()}
+
+    def init_state(self, batch_heads, head_dim, n_layers):
+        return _empty_state(n_layers)
+
+    def __call__(self, q, k, v, t, rng, layer_idx, state, consts):
+        warm = (layer_idx < self.plan.warmup.first_layers) | (
+            t > self.plan.warmup.first_times
+        )
+        out = jax.lax.cond(
+            warm,
+            lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan),
+            lambda a: svg1_sparse_impl(a[0], a[1], a[2], a[3], a[5], self.plan),
+            (q, k, v, rng, consts["dense_meta"], consts["sparse_meta"]),
+        )
+        return out, state
+
+
+@dataclasses.dataclass(frozen=True)
+class SAPRuntime:
+    plan: SVG1Plan  # dense fallback metadata + layout
+    cfg: SAPConfig
+    warmup: WarmupSchedule
+
+    def consts(self):
+        return {"dense_meta": self.plan.dense_meta()}
+
+    def init_state(self, batch_heads, head_dim, n_layers):
+        one = init_sap_state(batch_heads, head_dim, self.cfg)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (n_layers,) + x.shape), one)
+
+    def __call__(self, q, k, v, t, rng, layer_idx, state: SAPState, consts):
+        layout = self.plan.layout
+
+        def dense_branch(args):
+            q, k, v, state, rng, dense_meta = args
+            if self.cfg.zero_step_kmeans_init:
+                vid = layout.video_length
+                B, H, S, D = q.shape
+                qv = q[:, :, :vid].reshape(B * H, vid, D)
+                kv_ = k[:, :, :vid].reshape(B * H, vid, D)
+                _, _, state = sap_cluster(qv, kv_, state, self.cfg, rng)
+            return dense_impl(q, k, v, dense_meta, self.plan), state
+
+        def sparse_branch(args):
+            q, k, v, state, rng, _ = args
+            return sap_sparse_attention(
+                q, k, v, state, rng, layout=layout, cfg=self.cfg
+            )
+
+        warm = (layer_idx < self.warmup.first_layers) | (t > self.warmup.first_times)
+        return jax.lax.cond(
+            warm, dense_branch, sparse_branch, (q, k, v, state, rng, consts["dense_meta"])
+        )

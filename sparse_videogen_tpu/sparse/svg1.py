@@ -1,0 +1,206 @@
+"""SVG1 driver: online profiling -> placement -> static block-sparse attention.
+
+Reference flow: WanAttn_SVGAttn_Processor2_0.attention_core_logic
+(/root/reference/svg/models/wan/attention.py:283-328):
+  warmup? -> dense
+  else: sample_mse -> argmin -> sparse_head_placement -> flex_attention with
+  the shared band+sink block mask -> inverse placement.
+
+TPU design: the per-head spatial/temporal decision never recompiles — it
+becomes gather indices (core/placement.py); the flex block mask becomes
+static chunked CSR metadata + an in-kernel band+sink predicate (exact,
+including partial blocks). Everything here is jit-able; the profiling RNG is
+an explicit key (the reference uses a fresh torch.randint per call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_videogen_tpu.config import SVGConfig, VideoLayout, WarmupSchedule
+from sparse_videogen_tpu.core import masks as core_masks
+from sparse_videogen_tpu.core import placement as core_placement
+from sparse_videogen_tpu.core.profiler import best_mask_idx, sample_mse
+from sparse_videogen_tpu.ops import metadata as MD
+from sparse_videogen_tpu.ops.attention import MaskSpec, block_sparse_attention_kv, pack_kv
+
+
+@dataclasses.dataclass(frozen=True)
+class SVG1Plan:
+    """Static per-(layout, config) plan. Hashable; safe to close over in jit."""
+
+    layout: VideoLayout
+    cfg: SVGConfig
+    warmup: WarmupSchedule
+    multiplier: float
+    block_q: int
+    block_kv: int
+
+    def __post_init__(self):
+        object.__setattr__(self, "_cache", {})
+
+    @property
+    def seq_pad_q(self) -> int:
+        return -(-self.layout.seq_len // self.block_q) * self.block_q
+
+    @property
+    def seq_pad_kv(self) -> int:
+        s = -(-self.layout.seq_len // MD.SUB) * MD.SUB
+        return max(s, self.block_kv)
+
+    @property
+    def mask_spec(self) -> MaskSpec:
+        w = math.ceil(self.multiplier * self.layout.frame_size / 128) * 128
+        # reference band is |q-kv| <= w (wan/utils.py:34); kernel uses strict <
+        return MaskSpec(kind="band_sink", band_width=w + 1, sink_size=self.layout.frame_size)
+
+    def _build(self, key, fn):
+        # Metadata is cached as a *device array* (jax.device_put), never a
+        # numpy constant: baking the metadata into a jitted program as an XLA
+        # literal gives it a layout the kernel's HBM DMA does not expect —
+        # observed wrong reads and TPU worker crashes. As a device array it
+        # becomes a constvar, i.e. a runtime parameter with the standard
+        # layout.
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    def sparse_meta(self):
+        def build():
+            lay = self.layout
+            nsub = self.seq_pad_kv // MD.SUB
+            bm = core_masks.execution_mask_block(
+                lay, self.multiplier, block_q=self.block_q, block_kv=MD.SUB
+            )
+            bm = np.pad(
+                bm,
+                ((0, self.seq_pad_q // self.block_q - bm.shape[0]), (0, nsub - bm.shape[1])),
+            )
+            counts = MD.kv_counts_for_seq(lay.seq_len, self.seq_pad_kv)
+            return jax.device_put(MD.chunk_meta_np(bm[None], counts, block_kv=self.block_kv))
+
+        return self._build("sparse_meta", build)
+
+    def dense_meta(self):
+        def build():
+            counts = MD.kv_counts_for_seq(self.layout.seq_len, self.seq_pad_kv)
+            nsub = self.seq_pad_kv // MD.SUB
+            bm = np.ones((1, self.seq_pad_q // self.block_q, nsub), bool)
+            return jax.device_put(MD.chunk_meta_np(bm, counts, block_kv=self.block_kv))
+
+        return self._build("dense_meta", build)
+
+    def profile_preds(self):
+        def build():
+            sink = self.layout.context_length == 0  # wan/cosmos profiling masks use the sink
+            return tuple(
+                core_masks.profile_mask_predicate(
+                    self.layout, name, self.cfg.profile_multiplier, first_frame_sink=sink
+                )
+                for name in ("spatial", "temporal")
+            )
+
+        return self._build("preds", build)
+
+
+def make_svg1_plan(
+    layout: VideoLayout,
+    cfg: SVGConfig = SVGConfig(),
+    warmup: WarmupSchedule = WarmupSchedule(),
+    *,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> SVG1Plan:
+    mul = core_masks.sparsity_to_width(
+        cfg.sparsity, layout.context_length, layout.num_frames, layout.frame_size
+    )
+    return SVG1Plan(layout, cfg, warmup, mul, block_q, block_kv)
+
+
+def _pad_seq(x, s_pad):
+    return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, 0)))
+
+
+def _run_kernel(q, k, v, meta, plan, mask_spec, interpret):
+    B, H, S, D = q.shape
+    qf = _pad_seq(q, plan.seq_pad_q).reshape(B * H, plan.seq_pad_q, D)
+    kv = pack_kv(
+        _pad_seq(k, plan.seq_pad_kv).reshape(B * H, plan.seq_pad_kv, D),
+        _pad_seq(v, plan.seq_pad_kv).reshape(B * H, plan.seq_pad_kv, D),
+    )
+    out = block_sparse_attention_kv(
+        qf,
+        kv,
+        jnp.asarray(meta),
+        block_q=plan.block_q,
+        block_kv=plan.block_kv,
+        mask_spec=mask_spec,
+        interpret=interpret,
+    )
+    return out[:, :S].reshape(B, H, S, D)
+
+
+@partial(jax.jit, static_argnames=("plan", "interpret"))
+def svg1_sparse_impl(q, k, v, rng, meta, plan: SVG1Plan, *, interpret=None):
+    """Sparse branch with metadata as an explicit operand.
+
+    Metadata MUST flow in as a runtime argument: if it is captured as a
+    trace-time constant, XLA inlines it as an HLO literal whose buffer layout
+    differs from the (8,128)-tiled layout the kernel's DMA assumes — observed
+    wrong reads and TPU worker crashes. Callers inside a larger jit must
+    thread it through their own arguments (see sparse/runtimes.py consts()).
+    """
+    mses = sample_mse(
+        q,
+        k,
+        v,
+        plan.profile_preds(),
+        rng,
+        num_sampled_rows=plan.cfg.num_sampled_rows,
+        sample_mse_max_row=plan.cfg.sample_mse_max_row,
+    )
+    best = best_mask_idx(mses)  # (B, H): 0 spatial, 1 temporal
+    qp, kp, vp = core_placement.sparse_head_placement(q, k, v, best, plan.layout)
+    o = _run_kernel(qp, kp, vp, meta, plan, plan.mask_spec, interpret)
+    return core_placement.hidden_states_placement(o, best, plan.layout)
+
+
+@partial(jax.jit, static_argnames=("plan", "interpret"))
+def dense_impl(q, k, v, meta, plan: SVG1Plan, *, interpret=None):
+    """Dense attention through the same kernel (explicit full metadata)."""
+    return _run_kernel(q, k, v, meta, plan, MaskSpec(), interpret)
+
+
+def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, *, interpret=None):
+    """Top-level sparse entry (fetches plan metadata as a device arg)."""
+    return svg1_sparse_impl(q, k, v, rng, plan.sparse_meta(), plan, interpret=interpret)
+
+
+def dense_attention_kernel(q, k, v, plan: SVG1Plan, *, interpret=None):
+    """Top-level dense entry through the same kernel."""
+    return dense_impl(q, k, v, plan.dense_meta(), plan, interpret=interpret)
+
+
+def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, interpret=None):
+    """Full SVG1 semantics including the warm-up escape hatch.
+
+    layer_idx is static; timestep is a traced scalar (0..1000 flow timestep).
+    Matches attention_core_logic's flags (wan/attention.py:299-309).
+    Top-level use only (metadata enters as device args here).
+    """
+    dense_meta = plan.dense_meta()
+    sparse_meta = plan.sparse_meta()
+    if layer_idx < plan.warmup.first_layers:
+        return dense_impl(q, k, v, dense_meta, plan, interpret=interpret)
+    return jax.lax.cond(
+        timestep > plan.warmup.first_times,
+        lambda args: dense_impl(args[0], args[1], args[2], args[4], plan, interpret=interpret),
+        lambda args: svg1_sparse_impl(args[0], args[1], args[2], args[3], args[5], plan, interpret=interpret),
+        (q, k, v, rng, dense_meta, sparse_meta),
+    )

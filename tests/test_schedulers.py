@@ -1,0 +1,123 @@
+"""Flow-match samplers: exactness on linear flows + cross-check vs a direct
+numpy port of the reference loop (fm_solvers_unipc.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_videogen_tpu.schedulers import FlowMatchEuler, FlowUniPC
+
+
+def np_flow_unipc_reference(v_fn, x, sigmas, orders):
+    """Direct numpy port of the reference step loop (predict_x0, bh2)."""
+    N = len(sigmas) - 1
+    model_outputs = [None, None]
+    last_sample = None
+    this_order = None
+    lam = lambda i: np.log(1 - sigmas[i]) - np.log(sigmas[i]) if sigmas[i] > 0 else np.inf
+
+    for i in range(N):
+        v = v_fn(x, sigmas[i])
+        x0 = x - sigmas[i] * v
+        use_corrector = i > 0 and last_sample is not None
+        if use_corrector:
+            # multistep_uni_c_bh_update at step i with order=this_order
+            m0 = model_outputs[-1]
+            h = lam(i) - lam(i - 1)
+            a_t, s_t = 1 - sigmas[i], sigmas[i]
+            hh = -h
+            h_phi_1 = np.expm1(hh)
+            B_h = np.expm1(hh)
+            if this_order == 1:
+                rhos_c = np.array([0.5])
+                D1s = None
+            else:
+                rk = (lam(i - 2) - lam(i - 1)) / h
+                rks = np.array([rk, 1.0])
+                R, b = [], []
+                fact = 1
+                h_phi_k = h_phi_1 / hh - 1
+                for o in range(1, this_order + 1):
+                    R.append(rks ** (o - 1))
+                    b.append(h_phi_k * fact / B_h)
+                    fact *= o + 1
+                    h_phi_k = h_phi_k / hh - 1 / fact
+                rhos_c = np.linalg.solve(np.stack(R), np.array(b))
+                D1s = (model_outputs[-2] - m0) / rk
+            D1_t = x0 - m0
+            x_t = s_t / sigmas[i - 1] * last_sample - a_t * h_phi_1 * m0
+            corr = rhos_c[-1] * D1_t
+            if D1s is not None:
+                corr = corr + rhos_c[0] * D1s
+            x = x_t - a_t * B_h * corr
+
+        model_outputs = [model_outputs[-1], x0]
+        this_order = orders[i]
+        last_sample = x
+
+        # predictor
+        a_t, s_t = 1 - sigmas[i + 1], sigmas[i + 1]
+        h = lam(i + 1) - lam(i)
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = np.expm1(hh)
+        x_t = s_t / sigmas[i] * x - a_t * h_phi_1 * x0
+        if this_order == 2:
+            rk = (lam(i - 1) - lam(i)) / h
+            D1s = (model_outputs[-2] - x0) / rk
+            x_t = x_t - a_t * B_h * 0.5 * D1s
+        x = x_t
+    return x
+
+
+@pytest.mark.parametrize("steps,shift", [(4, 5.0), (10, 3.0)])
+def test_unipc_exact_on_constant_velocity(steps, shift):
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    eps = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    sch = FlowUniPC(steps, shift=shift)
+    s0 = sch.sigmas[0]
+    x = jnp.asarray((1 - s0) * x0 + s0 * eps)
+    state = sch.init_state(x)
+    v = jnp.asarray(eps - x0)
+    for i in range(steps):
+        x, state = sch.step(i, x, v, state)
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=2e-4, atol=2e-5)
+
+
+def test_euler_exact_on_constant_velocity():
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal((4,)).astype(np.float32)
+    eps = rng.standard_normal((4,)).astype(np.float32)
+    sch = FlowMatchEuler(6, shift=7.0)
+    s0 = sch.sigmas[0]
+    x = jnp.asarray((1 - s0) * x0 + s0 * eps)
+    for i in range(6):
+        x, _ = sch.step(i, x, jnp.asarray(eps - x0))
+    np.testing.assert_allclose(np.asarray(x), x0, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("steps", [3, 8])
+def test_unipc_matches_reference_port(steps):
+    rng = np.random.default_rng(2)
+    x_init = rng.standard_normal((5,)).astype(np.float64)
+
+    def v_fn(x, sigma):
+        return np.tanh(x) * 0.3 + 0.7 * sigma
+
+    sch = FlowUniPC(steps, shift=5.0)
+    ref = np_flow_unipc_reference(v_fn, x_init.copy(), sch.sigmas, sch.pred_order)
+
+    x = jnp.asarray(x_init, jnp.float32)
+    state = sch.init_state(x)
+    for i in range(steps):
+        v = jnp.asarray(v_fn(np.asarray(x, np.float64), sch.sigmas[i]), jnp.float32)
+        x, state = sch.step(i, x, v, state)
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_unipc_timesteps_match_reference_semantics():
+    sch = FlowUniPC(50, shift=5.0)
+    assert sch.timesteps[0] > 990 and sch.timesteps[-1] > 0
+    assert np.all(np.diff(sch.timesteps) < 0)
+    assert sch.sigmas[-1] == 0.0
