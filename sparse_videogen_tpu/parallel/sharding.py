@@ -1,0 +1,45 @@
+"""FSDP-style parameter sharding.
+
+The reference shards model weights with torch FSDP FULL_SHARD over blocks
+(wan_orig/distributed/fsdp.py:12-35). The TPU-native analog: every large
+parameter leaf is sharded on its largest divisible axis over the mesh's
+combined devices ('dp','sp'); XLA inserts the all-gathers next to each use
+(the FSDP unshard) and keeps small leaves replicated.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_spec(shape, mesh: Mesh, min_size: int = 1 << 16) -> P:
+    """Shard the largest axis divisible by the full device count."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if np.prod(shape) < min_size:
+        return P()
+    # stacked per-layer params (ndim>=3) are sliced on axis 0 by the block
+    # scan — sharding that axis forces a full remat each layer, so skip it.
+    cands = range(1, len(shape)) if len(shape) >= 3 else range(len(shape))
+    order = sorted(cands, key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % n == 0:
+            spec = [None] * len(shape)
+            spec[i] = tuple(mesh.axis_names)
+            return P(*spec)
+    for i in order:  # fall back to sharding over just one axis
+        for a in mesh.axis_names:
+            if mesh.shape[a] > 1 and shape[i] % mesh.shape[a] == 0:
+                spec = [None] * len(shape)
+                spec[i] = a
+                return P(*spec)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree on the mesh with FSDP-style shardings."""
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, param_spec(x.shape, mesh)))
+
+    return jax.tree.map(place, params)

@@ -1,0 +1,3 @@
+"""End-to-end generation pipelines."""
+
+from sparse_videogen_tpu.pipelines.wan import WanPipeline, make_wan_runtime  # noqa: F401

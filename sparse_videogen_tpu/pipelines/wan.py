@@ -1,0 +1,193 @@
+"""Wan 2.1 T2V/I2V generation pipeline.
+
+Mirrors the reference entry flow (wan_t2v_inference.py + diffusers
+WanPipeline.__call__): UniPC flow scheduler, CFG guidance, the sparse
+attention pattern as first-class config (the reference monkey-patches
+processors; here it is a runtime object).
+
+Text encoding (UMT5) and VAE decode are pluggable callables so the denoising
+core is independently testable; io/ provides checkpoint loading.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparse_videogen_tpu.config import (
+    SAPConfig,
+    SparseMode,
+    SVGConfig,
+    VideoLayout,
+    WarmupSchedule,
+)
+from sparse_videogen_tpu.models.wan import model as WM
+from sparse_videogen_tpu.schedulers import FlowUniPC
+from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
+from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+from sparse_videogen_tpu.utils.logging import logger
+
+VAE_SPATIAL = 8
+VAE_TEMPORAL = 4
+
+
+def wan_layout(model_cfg: WM.WanConfig, height: int, width: int, num_frames: int) -> VideoLayout:
+    """Token layout from pixel dims (replace_wan_attention, inference.py:41-44)."""
+    pt, ph, pw = model_cfg.patch_size
+    nf = 1 + (num_frames - 1) // VAE_TEMPORAL
+    nf = nf // pt
+    mod = VAE_SPATIAL * ph
+    fs = (height // mod) * (width // (VAE_SPATIAL * pw))
+    return VideoLayout(num_frames=nf, frame_size=fs)
+
+
+def make_wan_runtime(
+    layout: VideoLayout,
+    *,
+    pattern: str = "SVG",
+    warmup: WarmupSchedule = WarmupSchedule(),
+    svg: SVGConfig = SVGConfig(),
+    sap: SAPConfig = SAPConfig(),
+    block_q: int = 512,
+    block_kv: int = 512,
+    mesh=None,
+):
+    plan = make_svg1_plan(layout, svg, warmup, block_q=block_q, block_kv=block_kv)
+    mode = SparseMode(pattern)
+    if mode == SparseMode.DENSE:
+        rt = DenseRuntime(plan)
+    elif mode == SparseMode.SVG:
+        rt = SVG1Runtime(plan)
+    else:
+        rt = SAPRuntime(plan, sap, warmup)
+    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+        from sparse_videogen_tpu.parallel import UlyssesRuntime
+
+        rt = UlyssesRuntime(rt, mesh)
+    return rt
+
+
+@dataclasses.dataclass
+class WanPipeline:
+    model_cfg: WM.WanConfig
+    params: dict
+    text_encoder: Optional[Callable] = None  # (prompts) -> (B, text_len, text_dim)
+    vae_decode: Optional[Callable] = None  # latents -> pixel video
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def generate_latents(
+        self,
+        context,  # (1, text_len, text_dim) conditional text embedding
+        context_null,  # (1, text_len, text_dim) negative/unconditional
+        *,
+        height: int = 480,
+        width: int = 832,
+        num_frames: int = 81,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        flow_shift: float = 3.0,
+        pattern: str = "SVG",
+        first_layers_fp: float = 0.0,
+        first_times_fp: float = 0.0,
+        svg: SVGConfig = SVGConfig(),
+        sap: SAPConfig = SAPConfig(),
+        seed: int = 0,
+        clip_fea=None,
+        latent_cond=None,  # I2V: conditioning latents concatenated on channels
+        mesh=None,
+        cfg_batch: Optional[bool] = None,
+        callback=None,
+    ):
+        """Run the denoise loop, return final latents (1, C, F', H', W')."""
+        cfgm = self.model_cfg
+        layout = wan_layout(cfgm, height, width, num_frames)
+        sch = FlowUniPC(num_inference_steps, shift=flow_shift)
+        warmup = WarmupSchedule.from_fractions(
+            first_layers_fp, first_times_fp, cfgm.num_layers, sch.timesteps
+        )
+        runtime = make_wan_runtime(
+            layout, pattern=pattern, warmup=warmup, svg=svg, sap=sap, mesh=mesh
+        )
+        if cfg_batch is None:
+            # SAP requires cfg=1 per stream (wan/attention.py:502): run
+            # cond/uncond as separate forwards; SVG/dense batch them.
+            cfg_batch = pattern != "SAP"
+
+        F_lat = (1 + (num_frames - 1) // VAE_TEMPORAL)
+        H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL
+        key = jax.random.PRNGKey(seed)
+        key, nkey = jax.random.split(key)
+        lat = jax.random.normal(nkey, (1, cfgm.in_dim, F_lat, H_lat, W_lat), jnp.float32)
+        logger.info(
+            f"wan generate: layout seq={layout.seq_len} ({layout.num_frames}x{layout.frame_size}), "
+            f"steps={num_inference_steps}, pattern={pattern}, warmup={warmup}"
+        )
+
+        B = 2 if cfg_batch else 1
+        consts = runtime.consts()
+        astates = runtime.init_state(B * cfgm.num_heads, cfgm.head_dim, cfgm.num_layers)
+        if not cfg_batch:
+            astates = (astates, runtime.init_state(cfgm.num_heads, cfgm.head_dim, cfgm.num_layers))
+
+        ctx_pair = jnp.concatenate([context, context_null], axis=0)
+
+        @jax.jit
+        def fwd_batched(params, lat, t, ctx2, states, consts, key, clip_fea=None, lat_cond=None):
+            x = jnp.concatenate([lat, lat], axis=0).astype(self.dtype)
+            if lat_cond is not None:
+                x = jnp.concatenate([x, jnp.concatenate([lat_cond, lat_cond], 0).astype(self.dtype)], axis=1)
+            v, states = WM.wan_forward(
+                params, cfgm, x, jnp.full((2,), t, jnp.float32), ctx2,
+                clip_fea=None if clip_fea is None else jnp.concatenate([clip_fea, clip_fea], 0),
+                attention=runtime, attn_states=states, attn_consts=consts, rng=key,
+            )
+            return v[:1], v[1:2], states
+
+        @jax.jit
+        def fwd_single(params, lat, t, ctx, states, consts, key, clip_fea=None, lat_cond=None):
+            x = lat.astype(self.dtype)
+            if lat_cond is not None:
+                x = jnp.concatenate([x, lat_cond.astype(self.dtype)], axis=1)
+            v, states = WM.wan_forward(
+                params, cfgm, x, jnp.full((1,), t, jnp.float32), ctx,
+                clip_fea=clip_fea,
+                attention=runtime, attn_states=states, attn_consts=consts, rng=key,
+            )
+            return v, states
+
+        sstate = sch.init_state(lat)
+        for i in range(num_inference_steps):
+            t = float(sch.timesteps[i])
+            kstep = jax.random.fold_in(key, i)
+            if cfg_batch:
+                v_cond, v_uncond, astates = fwd_batched(
+                    self.params, lat, t, ctx_pair, astates, consts, kstep,
+                    clip_fea, latent_cond,
+                )
+            else:
+                st_c, st_u = astates
+                v_cond, st_c = fwd_single(
+                    self.params, lat, t, context, st_c, consts, kstep, clip_fea, latent_cond
+                )
+                v_uncond, st_u = fwd_single(
+                    self.params, lat, t, context_null, st_u, consts, kstep, clip_fea, latent_cond
+                )
+                astates = (st_c, st_u)
+            v = v_uncond + guidance_scale * (v_cond - v_uncond)
+            lat, sstate = sch.step(i, lat, v, sstate)
+            if callback is not None:
+                callback(i, lat)
+        return lat
+
+    def generate(self, prompt: str, negative_prompt: str = "", **kw):
+        assert self.text_encoder is not None, "attach a text encoder (io/encoders)"
+        ctx = self.text_encoder([prompt])
+        ctx_null = self.text_encoder([negative_prompt])
+        lat = self.generate_latents(ctx, ctx_null, **kw)
+        if self.vae_decode is not None:
+            return self.vae_decode(lat)
+        return lat

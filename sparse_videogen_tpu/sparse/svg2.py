@@ -77,7 +77,13 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
     klab, kcent, ksz = _kmeans_with_warmstart(
         k, cfg.num_k_centroids, state.k_centroids, state.initialized, cfg, rk
     )
-    new_state = SAPState(qcent, kcent, jnp.ones((), bool))
+    # keep the carried state's dtype stable so warm-up (dense) and sparse
+    # branches of lax.cond return identical pytree types
+    new_state = SAPState(
+        qcent.astype(state.q_centroids.dtype),
+        kcent.astype(state.k_centroids.dtype),
+        jnp.ones((), bool),
+    )
     return (qlab, qcent, qsz), (klab, kcent, ksz), new_state
 
 
