@@ -56,7 +56,14 @@ def hidden_states_placement(o, best_mask_idx, layout: VideoLayout):
     Matches wan_hidden_states_placement (placement.py:285-358): for temporal
     heads, output position p*nf+f is scattered back to token f*fs+p —
     equivalently a gather with the *inverse* permutation.
+
+    Formulated as one constant-index gather + per-head select rather than a
+    per-head dynamic gather: a take_along_axis whose indices vary per head
+    consistently crashes the TPU runtime when its operand is a Pallas kernel
+    output (XLA:TPU gather/custom-call interaction; constant-index gathers
+    and pre-kernel dynamic gathers are fine). The select form is also faster:
+    XLA fuses the select into the gather consumer.
     """
     _, ginv = placement_indices(layout)
-    idx = head_gather_indices(best_mask_idx, ginv)
-    return apply_placement(o, idx)
+    o_t = jnp.take(o, jnp.asarray(ginv, jnp.int32), axis=2)
+    return jnp.where((best_mask_idx == 1)[..., None, None], o_t, o)
