@@ -93,8 +93,20 @@ def init_centroids(x, n_clusters: int, rng):
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk"))
-def batch_kmeans(x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk: int = 4096):
+def _fused_iter(x, centroids):
+    """One Lloyd iteration via the fused Pallas pass (ops/kmeans_pallas.py)."""
+    from sparse_videogen_tpu.ops.kmeans_pallas import kmeans_assign_update
+
+    labels, sums, counts = kmeans_assign_update(x, centroids)
+    means = sums / jnp.maximum(counts, 1.0)[..., None]
+    new = jnp.where((counts == 0)[..., None], centroids.astype(jnp.float32), means)
+    return labels, new.astype(x.dtype), counts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk", "backend"))
+def batch_kmeans(
+    x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk: int = 4096, backend: str = "pallas"
+):
     """Run `max_iters` Lloyd iterations from `init` centroids.
 
     Matches the reference loop structure (kmeans_utils.py:713-726): each
@@ -108,15 +120,21 @@ def batch_kmeans(x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk
     """
     B, N, D = x.shape
     init = init.astype(x.dtype)
+
+    def one_iter(c):
+        if backend == "pallas":
+            return _fused_iter(x, c)
+        labels = kmeans_assign(x, c, chunk=chunk)
+        new, sizes = centroid_update(x, labels, c, chunk=chunk)
+        return labels, new, sizes
+
     if max_iters <= 0:
-        labels = kmeans_assign(x, init, chunk=chunk)
-        _, sizes = centroid_update(x, labels, init, chunk=chunk)
+        labels, _, sizes = one_iter(init)
         return labels, init, sizes
 
     def body(_, carry):
         c, _labels, _sizes = carry
-        labels = kmeans_assign(x, c, chunk=chunk)
-        new, sizes = centroid_update(x, labels, c, chunk=chunk)
+        labels, new, sizes = one_iter(c)
         return new, labels, sizes
 
     carry = (

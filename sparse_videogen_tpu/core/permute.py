@@ -15,8 +15,14 @@ variable-block formulation (softmax never sees padding); the only cost is
 extra compute on padded rows/columns, bounded by n_clusters * (block-1)
 tokens.
 
-All maps here are gathers (TPU-friendly); only the token->position index map
-uses one small int32 scatter.
+TPU cost model (measured on v5e): XLA scatters serialize, element gathers
+from small tables run ~7ms for (12, 58k) — so this module
+  - uses lax.sort_key_val to produce sorted labels / inverse maps as sort
+    payloads instead of gather/scatter,
+  - computes all per-slot cluster quantities at 128-token sub-block
+    granularity (blocks never span clusters) and expands with jnp.repeat,
+  - gathers from small (<=1024-entry) per-row tables via one-hot matmuls
+    (MXU bandwidth) rather than XLA element gathers.
 """
 
 from __future__ import annotations
@@ -26,6 +32,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+SUB = 128
+
 
 def padded_seq_len(seq_len: int, n_clusters: int, block: int) -> int:
     """Static upper bound on sum(ceil(size_c / block) * block)."""
@@ -33,12 +41,7 @@ def padded_seq_len(seq_len: int, n_clusters: int, block: int) -> int:
 
 
 def cluster_spans(sizes, block: int):
-    """sizes: (..., C) -> (start, pad_off, pad_sizes); exclusive starts.
-
-    start:     unpadded cluster start offsets (cumsum-exclusive of sizes)
-    pad_sizes: ceil(size/block)*block
-    pad_off:   padded cluster start offsets
-    """
+    """sizes: (..., C) -> (start, pad_off, pad_sizes); exclusive starts."""
     pad_sizes = -(-sizes // block) * block
     zero = jnp.zeros_like(sizes[..., :1])
     start = jnp.cumsum(jnp.concatenate([zero, sizes[..., :-1]], axis=-1), axis=-1)
@@ -46,9 +49,30 @@ def cluster_spans(sizes, block: int):
     return start, pad_off, pad_sizes
 
 
+def _gather_small_f32(table_f32, idx, n: int):
+    onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+    return jnp.einsum("bmn,bn->bm", onehot, table_f32, preferred_element_type=jnp.float32)
+
+
+def gather_small_i32(table, idx, n: int):
+    """Per-row element gather from a small table via one-hot matmul.
+
+    table: (B, n) int32 with |values| < 2^24 (exact in f32); idx: (B, M).
+    XLA element gathers run far below bandwidth on TPU; the one-hot matmul
+    hits the MXU at near memory bandwidth instead. Above a materialization
+    threshold (the one-hot is B*M*n f32 in HBM) fall back to the XLA gather —
+    slower but O(M) memory. TODO(round 2): Pallas kernel building the one-hot
+    per block in VMEM: bandwidth-fast at every size.
+    """
+    B, M = idx.shape
+    if B * M * n * 4 > 1 << 29:  # 512 MB
+        return jnp.take_along_axis(table, idx, axis=-1)
+    return _gather_small_f32(table.astype(jnp.float32), idx, n).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("n_clusters", "block", "s_pad"))
 def padded_permutation(labels, sizes, *, n_clusters: int, block: int, s_pad: int):
-    """Build gather/scatter maps for the block-aligned permutation.
+    """Build gather maps for the block-aligned permutation.
 
     Args:
       labels: (B, N) int32 cluster assignment per token.
@@ -64,47 +88,46 @@ def padded_permutation(labels, sizes, *, n_clusters: int, block: int, s_pad: int
       kv_counts: (B, s_pad//block) int32 — valid tokens per block (0..block).
     """
     B, N = labels.shape
+    C = n_clusters
     start, pad_off, pad_sizes = cluster_spans(sizes, block)
     total_pad = pad_off[..., -1] + pad_sizes[..., -1]  # (B,)
 
-    perm = jnp.argsort(labels, axis=-1).astype(jnp.int32)  # sorted-rank -> token
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    lab_sorted, perm = jax.lax.sort_key_val(labels, iota_n, dimension=-1)
 
-    # padded position j -> owning cluster
-    j = jnp.arange(s_pad, dtype=jnp.int32)
-    # c(j) = (#clusters with pad_off <= j) - 1
-    c_of = (
-        jnp.sum(j[None, None, :] >= pad_off[..., :, None], axis=-2).astype(jnp.int32) - 1
-    )
-    c_of = jnp.clip(c_of, 0, n_clusters - 1)  # (B, s_pad)
-
-    r = j[None, :] - jnp.take_along_axis(pad_off, c_of, axis=-1)
-    size_c = jnp.take_along_axis(sizes, c_of, axis=-1)
-    valid = (r < size_c) & (j[None, :] < total_pad[:, None])
-    rank = jnp.take_along_axis(start, c_of, axis=-1) + jnp.minimum(
-        r, jnp.maximum(size_c - 1, 0)
-    )
-    src = jnp.take_along_axis(perm, jnp.clip(rank, 0, N - 1), axis=-1)
-
-    # token -> padded position: pos[perm[g]] = pad_off[lab_sorted[g]] + (g - start[lab_sorted[g]])
-    g = jnp.arange(N, dtype=jnp.int32)
-    lab_sorted = jnp.take_along_axis(labels, perm, axis=-1)
-    dest_sorted = (
-        jnp.take_along_axis(pad_off, lab_sorted, axis=-1)
-        + g[None, :]
-        - jnp.take_along_axis(start, lab_sorted, axis=-1)
-    ).astype(jnp.int32)
-    pos = jax.vmap(lambda p, d: jnp.zeros((N,), jnp.int32).at[p].set(d))(perm, dest_sorted)
-
+    # block-level cluster ownership (blocks never span clusters)
     nblk = s_pad // block
     b0 = jnp.arange(nblk, dtype=jnp.int32) * block
     blk_c = (
         jnp.sum(b0[None, None, :] >= pad_off[..., :, None], axis=-2).astype(jnp.int32) - 1
     )
-    blk_c = jnp.clip(blk_c, 0, n_clusters - 1)  # (B, nblk)
-    blk_size_c = jnp.take_along_axis(sizes, blk_c, axis=-1)
-    blk_r = b0[None, :] - jnp.take_along_axis(pad_off, blk_c, axis=-1)
-    kv_counts = jnp.clip(blk_size_c - blk_r, 0, block)
+    blk_c = jnp.clip(blk_c, 0, C - 1)  # (B, nblk)
+    blk_size = gather_small_i32(sizes, blk_c, C)
+    blk_padoff = gather_small_i32(pad_off, blk_c, C)
+    blk_start = gather_small_i32(start, blk_c, C)
+    blk_r = b0[None, :] - blk_padoff
+    kv_counts = jnp.clip(blk_size - blk_r, 0, block)
     kv_counts = jnp.where(b0[None, :] < total_pad[:, None], kv_counts, 0)
+
+    # expand block-level quantities to slots
+    rep = lambda x: jnp.repeat(x, block, axis=-1, total_repeat_length=s_pad)
+    j = jnp.arange(s_pad, dtype=jnp.int32)[None, :]
+    size_s = rep(blk_size)
+    r = j - rep(blk_padoff)
+    valid = (r < size_s) & (j < total_pad[:, None])
+    rank = rep(blk_start) + jnp.minimum(r, jnp.maximum(size_s - 1, 0))
+    src = jnp.take_along_axis(perm, jnp.clip(rank, 0, N - 1), axis=-1)
+
+    # token -> padded position: dest of sorted-rank g is
+    # pad_off[lab_sorted[g]] + (g - start[lab_sorted[g]]); sorting it by perm
+    # (payload trick) yields pos without an inverse-permutation gather.
+    g = jnp.arange(N, dtype=jnp.int32)[None, :]
+    dest_sorted = (
+        gather_small_i32(pad_off, lab_sorted, C)
+        + g
+        - gather_small_i32(start, lab_sorted, C)
+    ).astype(jnp.int32)
+    _, pos = jax.lax.sort_key_val(perm, dest_sorted, dimension=-1)
 
     return dict(
         src=src,

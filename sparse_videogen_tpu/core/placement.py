@@ -44,10 +44,18 @@ def apply_placement(x, idx):
 
 
 def sparse_head_placement(q, k, v, best_mask_idx, layout: VideoLayout):
-    """Forward placement of q/k/v. Matches wan_sparse_head_placement."""
+    """Forward placement of q/k/v. Matches wan_sparse_head_placement.
+
+    Same constant-gather + select formulation as hidden_states_placement
+    (see its docstring for the TPU rationale)."""
     g, _ = placement_indices(layout)
-    idx = head_gather_indices(best_mask_idx, g)
-    return apply_placement(q, idx), apply_placement(k, idx), apply_placement(v, idx)
+    gi = jnp.asarray(g, jnp.int32)
+    is_t = (best_mask_idx == 1)[..., None, None]
+
+    def place(x):
+        return jnp.where(is_t, jnp.take(x, gi, axis=2), x)
+
+    return place(q), place(k), place(v)
 
 
 def hidden_states_placement(o, best_mask_idx, layout: VideoLayout):

@@ -36,20 +36,29 @@ def sample_mse(q, k, v, mask_preds: Sequence, rng, *, num_sampled_rows: int, sam
     rows = jax.random.randint(rng, (n_rows,), 0, max_row)
 
     q_s = jnp.take(q, rows, axis=2)  # (B, H, R, D)
-    scores = jnp.einsum("bhrd,bhkd->bhrk", q_s, k).astype(jnp.float32) * (D**-0.5)
+    scores = jnp.einsum(
+        "bhrd,bhkd->bhrk", q_s, k, preferred_element_type=jnp.float32
+    ) * (D**-0.5)
 
-    golden_p = jax.nn.softmax(scores, axis=-1)
-    golden = jnp.einsum("bhrk,bhkd->bhrd", golden_p.astype(v.dtype), v).astype(jnp.float32)
+    # One softmax; masked variants are renormalizations of the same weights:
+    # softmax(where(m, s, -inf)) == p*m / sum(p*m). Saves two exp passes over
+    # (B,H,R,S) vs the reference's three independent softmaxes.
+    m_row = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m_row)
+    golden_l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jnp.einsum("bhrk,bhkd->bhrd", p.astype(v.dtype), v).astype(jnp.float32)
+    golden = pv / golden_l
 
     k_idx = jnp.arange(S)[None, :]
     q_idx = rows[:, None]
 
     mses = []
     for pred in mask_preds:
-        m = pred(q_idx, k_idx)  # (R, S)
-        s = jnp.where(m[None, None], scores, -jnp.inf)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhrk,bhkd->bhrd", p.astype(v.dtype), v).astype(jnp.float32)
+        m = pred(q_idx, k_idx)[None, None]  # (1, 1, R, S)
+        pm = jnp.where(m, p, 0.0)
+        l = jnp.sum(pm, axis=-1, keepdims=True)
+        out = jnp.einsum("bhrk,bhkd->bhrd", pm.astype(v.dtype), v).astype(jnp.float32)
+        out = out / jnp.maximum(l, 1e-20)
         mses.append(jnp.mean((out - golden) ** 2, axis=(2, 3)))
     return jnp.stack(mses)  # (num_masks, B, H)
 

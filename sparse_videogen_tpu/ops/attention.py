@@ -81,8 +81,14 @@ def _kernel(
     meta_dma = lambda: pltpu.make_async_copy(
         meta_hbm.at[b_meta, pl.ds(grp, 8), :], meta_ref, meta_sem
     )
-    meta_dma().start()
-    meta_dma().wait()
+    # Fetch once per 8-row group: SMEM scratch persists across sequential
+    # grid steps, so rows 1..7 reuse it (the i axis is 'arbitrary' =
+    # sequential; a fresh b always restarts at i == 0 with sub == 0).
+    @pl.when(sub == 0)
+    def _():
+        meta_dma().start()
+        meta_dma().wait()
+
     n = meta_ref[sub, 0]
 
     def kv_copy(slot, j):

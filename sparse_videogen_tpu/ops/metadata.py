@@ -151,16 +151,15 @@ def chunk_meta_jnp(mask, counts, *, block_kv: int, cap: int):
     lo = (j - idx_eff) * SUB
     win = pack_window(lo, lo + valid)
 
-    # CSR compaction of chunk_start positions
-    pos = jnp.cumsum(chunk_start, axis=-1, dtype=jnp.int32) - 1
-    n = jnp.minimum(pos[..., -1] + 1, cap).astype(jnp.int32)
-    eff = jnp.where(chunk_start & (pos < cap), pos, cap)
-    out = jnp.zeros((R, nQ, cap + 1, 2), jnp.int32)
-    r_idx = jnp.arange(R)[:, None, None]
-    q_idx = jnp.arange(nQ)[None, :, None]
-    payload = jnp.stack([jnp.broadcast_to(idx_eff, win.shape), win], axis=-1)
-    out = out.at[r_idx, q_idx, eff].set(payload)
-    entries = out[:, :, :cap].reshape(R, nQ, 2 * cap)
+    # CSR compaction via a stable sort (scatters serialize on TPU; sorting
+    # the boolean start flags moves chunk starts to the front in j order)
+    n = jnp.minimum(jnp.sum(chunk_start, axis=-1, dtype=jnp.int32), cap)
+    order = jnp.argsort(~chunk_start, axis=-1, stable=True).astype(jnp.int32)
+    sel = order[..., :cap]  # (R, nQ, cap): j of the first `cap` chunk starts
+    valid_sel = jnp.take_along_axis(chunk_start, sel, axis=-1)
+    idxs = jnp.where(valid_sel, jnp.minimum(sel, nsub - C), 0)
+    wins = jnp.where(valid_sel, jnp.take_along_axis(win, sel, axis=-1), 0)
+    entries = jnp.stack([idxs, wins], axis=-1).reshape(R, nQ, 2 * cap)
     return jnp.concatenate([n[..., None], entries], axis=-1)
 
 

@@ -52,7 +52,13 @@ class SVG1Runtime:
     plan: SVG1Plan
 
     def consts(self):
-        return {"dense_meta": self.plan.dense_meta(), "sparse_meta": self.plan.sparse_meta()}
+        pc = self.plan.placement_consts()
+        return {
+            "dense_meta": self.plan.dense_meta(),
+            "sparse_meta": self.plan.sparse_meta(),
+            "gather": pc["gather"],
+            "inv_gather": pc["inv_gather"],
+        }
 
     def init_state(self, batch_heads, head_dim, n_layers):
         return _empty_state(n_layers)
@@ -64,8 +70,11 @@ class SVG1Runtime:
         out = jax.lax.cond(
             warm,
             lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan),
-            lambda a: svg1_sparse_impl(a[0], a[1], a[2], a[3], a[5], self.plan),
-            (q, k, v, rng, consts["dense_meta"], consts["sparse_meta"]),
+            lambda a: svg1_sparse_impl(
+                a[0], a[1], a[2], a[3], a[5], a[6], a[7], self.plan
+            ),
+            (q, k, v, rng, consts["dense_meta"], consts["sparse_meta"],
+             consts["gather"], consts["inv_gather"]),
         )
         return out, state
 

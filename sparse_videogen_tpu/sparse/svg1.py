@@ -96,6 +96,19 @@ class SVG1Plan:
 
         return self._build("dense_meta", build)
 
+    def placement_consts(self):
+        """Device arrays for the per-head placement (passed as jit args: as
+        MLIR constants the (S,) index tables push serialized programs past
+        the remote-compile size limit)."""
+        def build():
+            g, ginv = core_placement.placement_indices(self.layout)
+            return {
+                "gather": jax.device_put(jnp.asarray(g, jnp.int32)),
+                "inv_gather": jax.device_put(jnp.asarray(ginv, jnp.int32)),
+            }
+
+        return self._build("placement", build)
+
     def profile_preds(self):
         def build():
             sink = self.layout.context_length == 0  # wan/cosmos profiling masks use the sink
@@ -147,7 +160,7 @@ def _run_kernel(q, k, v, meta, plan, mask_spec, interpret):
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
-def svg1_sparse_impl(q, k, v, rng, meta, plan: SVG1Plan, *, interpret=None):
+def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, *, interpret=None):
     """Sparse branch with metadata as an explicit operand.
 
     Metadata MUST flow in as a runtime argument: if it is captured as a
@@ -166,9 +179,10 @@ def svg1_sparse_impl(q, k, v, rng, meta, plan: SVG1Plan, *, interpret=None):
         sample_mse_max_row=plan.cfg.sample_mse_max_row,
     )
     best = best_mask_idx(mses)  # (B, H): 0 spatial, 1 temporal
-    qp, kp, vp = core_placement.sparse_head_placement(q, k, v, best, plan.layout)
-    o = _run_kernel(qp, kp, vp, meta, plan, plan.mask_spec, interpret)
-    return core_placement.hidden_states_placement(o, best, plan.layout)
+    is_t = (best == 1)[..., None, None]
+    place = lambda x: jnp.where(is_t, jnp.take(x, gidx, axis=2), x)
+    o = _run_kernel(place(q), place(k), place(v), meta, plan, plan.mask_spec, interpret)
+    return jnp.where(is_t, jnp.take(o, ginv, axis=2), o)
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
@@ -179,7 +193,11 @@ def dense_impl(q, k, v, meta, plan: SVG1Plan, *, interpret=None):
 
 def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, *, interpret=None):
     """Top-level sparse entry (fetches plan metadata as a device arg)."""
-    return svg1_sparse_impl(q, k, v, rng, plan.sparse_meta(), plan, interpret=interpret)
+    pc = plan.placement_consts()
+    return svg1_sparse_impl(
+        q, k, v, rng, plan.sparse_meta(), pc["gather"], pc["inv_gather"], plan,
+        interpret=interpret,
+    )
 
 
 def dense_attention_kernel(q, k, v, plan: SVG1Plan, *, interpret=None):
@@ -196,11 +214,15 @@ def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, in
     """
     dense_meta = plan.dense_meta()
     sparse_meta = plan.sparse_meta()
+    pc = plan.placement_consts()
     if layer_idx < plan.warmup.first_layers:
         return dense_impl(q, k, v, dense_meta, plan, interpret=interpret)
     return jax.lax.cond(
         timestep > plan.warmup.first_times,
         lambda args: dense_impl(args[0], args[1], args[2], args[4], plan, interpret=interpret),
-        lambda args: svg1_sparse_impl(args[0], args[1], args[2], args[3], args[5], plan, interpret=interpret),
-        (q, k, v, rng, dense_meta, sparse_meta),
+        lambda args: svg1_sparse_impl(
+            args[0], args[1], args[2], args[3], args[5], args[6], args[7], plan,
+            interpret=interpret,
+        ),
+        (q, k, v, rng, dense_meta, sparse_meta, pc["gather"], pc["inv_gather"]),
     )

@@ -89,14 +89,17 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
 
 def popularity_relabel(dyn_map, klab, ksz, kcent):
     """Relabel KV clusters by descending keep-popularity (layout-only)."""
+    from sparse_videogen_tpu.core.permute import gather_small_i32
+
     pop = jnp.sum(dyn_map, axis=-2)  # (BH', ..., KC) -> over q clusters
     pop = pop.reshape(klab.shape[0], -1)  # (BH, KC)
     order = jnp.argsort(-pop, axis=-1).astype(jnp.int32)  # new -> old
     rank = jnp.argsort(order, axis=-1).astype(jnp.int32)  # old -> new
-    klab2 = jnp.take_along_axis(rank, klab, axis=-1)
+    BH, KC = pop.shape
+    # token-level relabel via one-hot matmul (XLA element gathers are slow)
+    klab2 = gather_small_i32(rank, klab, KC)
     ksz2 = jnp.take_along_axis(ksz, order, axis=-1)
     kcent2 = jnp.take_along_axis(kcent, order[..., None], axis=-2)
-    BH, KC = pop.shape
     dyn2 = jnp.take_along_axis(
         dyn_map.reshape(BH, -1, KC), order[:, None, :], axis=-1
     )
@@ -157,10 +160,8 @@ def sap_sparse_attention(
     kmaps = core_permute.padded_permutation(klab, ksz, n_clusters=KC, block=MD.SUB, s_pad=sk_pad)
 
     qp = core_permute.gather_padded(qf, qmaps["src"])
-    kv = pack_kv(
-        core_permute.gather_padded(kf, kmaps["src"]),
-        core_permute.gather_padded(vf, kmaps["src"]),
-    )
+    # pack K|V first so the permutation costs ONE row-gather, not two
+    kv = core_permute.gather_padded(pack_kv(kf, vf), kmaps["src"])
 
     # 5. block mask -> chunked CSR metadata
     nQ = sq_pad // bq
