@@ -152,14 +152,18 @@ def execution_mask_block(
     directly: a block (i, j) is active iff the predicate holds for the
     *closest* token pair in the block (band) or the first column (sink).
 
-    Text handling (hyvideo: text LAST within [video_len, video_len+prompt)):
-    text rows/cols fully attended inside the "real" region; the fake padding
-    region attends only to itself. That variant lives in
-    models/hyvideo/masks.py; this function covers the video-band + sink core
-    used by Wan/CogVideoX/Cosmos.
+    Text handling: the skeleton is the *static superset* of blocks any
+    prompt length can touch — the in-kernel predicate (with the dynamic
+    real_len in aux) masks exactly within them:
+      LAST (hyvideo): text columns [video_len, seq) are visited by every row
+        and text/fake q-rows visit every column (text rows attend all video,
+        fake rows self-attend within the text block region).
+      FIRST (cog): symmetric with columns/rows [0, context_length).
     """
     seq = layout.seq_len
     fs = layout.frame_size
+    vid = layout.video_length
+    ctx = layout.context_length
     n_q = -(-seq // block_q)
     n_k = -(-seq // block_kv)
     if round_mode == "ceil":
@@ -180,6 +184,11 @@ def execution_mask_block(
     mask = band
     if first_frame_sink:
         mask = mask | (k_lo < fs)
+    if ctx > 0:
+        if layout.text_position == TextPosition.LAST:
+            mask = mask | (k_hi >= vid) | (q_hi >= vid)
+        elif layout.text_position == TextPosition.FIRST:
+            mask = mask | (k_lo < ctx) | (q_lo < ctx)
     return mask
 
 

@@ -27,23 +27,30 @@ def _axis_freqs(n_pos: int, dim: int, theta: float = 10000.0) -> np.ndarray:
 
 
 @lru_cache(maxsize=16)
+def nd_rope_cos_sin(sizes: tuple, dims: tuple):
+    """N-axis rope angles: cos/sin of shape (prod(sizes), sum(dims)//2), f32.
+
+    dims: per-axis rotary sub-dims (must sum to head_dim). Covers Wan's
+    (d-4(d//6), 2(d//6), 2(d//6)) split and HunyuanVideo's rope_dim_list
+    (16, 56, 56) (hyvideo_orig/modules/posemb_layers.py:178-243)."""
+    n = len(sizes)
+    parts = []
+    for ax, (sz, dim) in enumerate(zip(sizes, dims)):
+        ang = _axis_freqs(sz, dim)
+        shape = [1] * n + [dim // 2]
+        shape[ax] = sz
+        full = tuple(sizes) + (dim // 2,)
+        parts.append(np.broadcast_to(ang.reshape(shape), full))
+    ang = np.concatenate(parts, axis=-1).reshape(int(np.prod(sizes)), -1)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def wan_rope_cos_sin(f: int, h: int, w: int, head_dim: int):
     """cos/sin caches of shape (f*h*w, head_dim//2), f32 (numpy)."""
     d = head_dim
     dt = d - 4 * (d // 6)
     dh = dw = 2 * (d // 6)
-    ang_t = _axis_freqs(f, dt)[:, None, None, :]  # (f,1,1,dt/2)
-    ang_h = _axis_freqs(h, dh)[None, :, None, :]
-    ang_w = _axis_freqs(w, dw)[None, None, :, :]
-    ang = np.concatenate(
-        [
-            np.broadcast_to(ang_t, (f, h, w, dt // 2)),
-            np.broadcast_to(ang_h, (f, h, w, dh // 2)),
-            np.broadcast_to(ang_w, (f, h, w, dw // 2)),
-        ],
-        axis=-1,
-    ).reshape(f * h * w, d // 2)
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    return nd_rope_cos_sin((f, h, w), (dt, dh, dw))
 
 
 def apply_rope_interleaved(x, cos, sin):

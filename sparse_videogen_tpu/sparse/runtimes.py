@@ -33,23 +33,37 @@ def _empty_state(n_layers):
     return jnp.zeros((n_layers, 0), jnp.int32)
 
 
+def _aux_for(plan, prompt_length):
+    """Dynamic mask scalars: aux[0] = real_len (hyvideo) / prompt_len (cog)."""
+    lay = plan.layout
+    if plan.mask_kind == "hyvideo":
+        pl_ = lay.context_length if prompt_length is None else prompt_length
+        return jnp.asarray([lay.video_length + pl_, 0, 0, 0], jnp.int32)
+    if plan.mask_kind == "cog":
+        pl_ = lay.context_length if prompt_length is None else prompt_length
+        return jnp.asarray([pl_, 0, 0, 0], jnp.int32)
+    return jnp.zeros((4,), jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseRuntime:
     plan: SVG1Plan  # only dense_meta/layout/block sizes are used
+    prompt_length: int | None = None
 
     def consts(self):
-        return {"dense_meta": self.plan.dense_meta()}
+        return {"dense_meta": self.plan.dense_meta(), "aux": _aux_for(self.plan, self.prompt_length)}
 
     def init_state(self, batch_heads, head_dim, n_layers):
         return _empty_state(n_layers)
 
     def __call__(self, q, k, v, t, rng, layer_idx, state, consts):
-        return dense_impl(q, k, v, consts["dense_meta"], self.plan), state
+        return dense_impl(q, k, v, consts["dense_meta"], self.plan, consts["aux"]), state
 
 
 @dataclasses.dataclass(frozen=True)
 class SVG1Runtime:
     plan: SVG1Plan
+    prompt_length: int | None = None
 
     def consts(self):
         pc = self.plan.placement_consts()
@@ -58,6 +72,7 @@ class SVG1Runtime:
             "sparse_meta": self.plan.sparse_meta(),
             "gather": pc["gather"],
             "inv_gather": pc["inv_gather"],
+            "aux": _aux_for(self.plan, self.prompt_length),
         }
 
     def init_state(self, batch_heads, head_dim, n_layers):
@@ -69,12 +84,12 @@ class SVG1Runtime:
         )
         out = jax.lax.cond(
             warm,
-            lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan),
+            lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan, a[8]),
             lambda a: svg1_sparse_impl(
-                a[0], a[1], a[2], a[3], a[5], a[6], a[7], self.plan
+                a[0], a[1], a[2], a[3], a[5], a[6], a[7], self.plan, a[8]
             ),
             (q, k, v, rng, consts["dense_meta"], consts["sparse_meta"],
-             consts["gather"], consts["inv_gather"]),
+             consts["gather"], consts["inv_gather"], consts["aux"]),
         )
         return out, state
 
@@ -86,7 +101,7 @@ class SAPRuntime:
     warmup: WarmupSchedule
 
     def consts(self):
-        return {"dense_meta": self.plan.dense_meta()}
+        return {"dense_meta": self.plan.dense_meta(), "aux": _aux_for(self.plan, None)}
 
     def init_state(self, batch_heads, head_dim, n_layers):
         one = init_sap_state(batch_heads, head_dim, self.cfg)
@@ -96,22 +111,23 @@ class SAPRuntime:
         layout = self.plan.layout
 
         def dense_branch(args):
-            q, k, v, state, rng, dense_meta = args
+            q, k, v, state, rng, dense_meta, aux = args
             if self.cfg.zero_step_kmeans_init:
                 vid = layout.video_length
                 B, H, S, D = q.shape
                 qv = q[:, :, :vid].reshape(B * H, vid, D)
                 kv_ = k[:, :, :vid].reshape(B * H, vid, D)
                 _, _, state = sap_cluster(qv, kv_, state, self.cfg, rng)
-            return dense_impl(q, k, v, dense_meta, self.plan), state
+            return dense_impl(q, k, v, dense_meta, self.plan, aux), state
 
         def sparse_branch(args):
-            q, k, v, state, rng, _ = args
+            q, k, v, state, rng, _, _aux = args
             return sap_sparse_attention(
                 q, k, v, state, rng, layout=layout, cfg=self.cfg
             )
 
         warm = (layer_idx < self.warmup.first_layers) | (t > self.warmup.first_times)
         return jax.lax.cond(
-            warm, dense_branch, sparse_branch, (q, k, v, state, rng, consts["dense_meta"])
+            warm, dense_branch, sparse_branch,
+            (q, k, v, state, rng, consts["dense_meta"], consts["aux"]),
         )

@@ -41,6 +41,9 @@ class SVG1Plan:
     multiplier: float
     block_q: int
     block_kv: int
+    # mask family: "band_sink" (wan/cosmos), "hyvideo" (text last + real/fake
+    # split, dynamic real_len via aux), "cog" (text first, prompt_len via aux)
+    mask_kind: str = "band_sink"
 
     def __post_init__(self):
         object.__setattr__(self, "_cache", {})
@@ -56,9 +59,32 @@ class SVG1Plan:
 
     @property
     def mask_spec(self) -> MaskSpec:
-        w = math.ceil(self.multiplier * self.layout.frame_size / 128) * 128
-        # reference band is |q-kv| <= w (wan/utils.py:34); kernel uses strict <
-        return MaskSpec(kind="band_sink", band_width=w + 1, sink_size=self.layout.frame_size)
+        lay = self.layout
+        if self.mask_kind == "band_sink":
+            # reference band is |q-kv| <= w, ceil-rounded (wan/utils.py:29-34);
+            # kernel predicate is strict <
+            w = math.ceil(self.multiplier * lay.frame_size / 128) * 128
+            return MaskSpec(kind="band_sink", band_width=w + 1, sink_size=lay.frame_size)
+        if self.mask_kind == "hyvideo":
+            # floor-rounded strict < (hyvideo/utils.py:23-33)
+            w = math.floor(self.multiplier * lay.frame_size / 128) * 128
+            return MaskSpec(kind="hyvideo", band_width=w, video_len=lay.video_length)
+        if self.mask_kind == "cog":
+            w = math.floor(self.multiplier * lay.frame_size / 128) * 128
+            return MaskSpec(kind="cog", band_width=w)
+        raise ValueError(self.mask_kind)
+
+    @property
+    def dense_mask_spec(self) -> MaskSpec:
+        """Dense fallback predicate. For text-last layouts dense attention is
+        still real/fake-split (hyvideo attention.py:35-44 replaces masked SDPA
+        with varlen flash over real tokens); a huge band makes every real pair
+        attend while the real/fake split stays exact."""
+        if self.mask_kind == "hyvideo":
+            return MaskSpec(
+                kind="hyvideo", band_width=1 << 24, video_len=self.layout.video_length
+            )
+        return MaskSpec()
 
     def _build(self, key, fn):
         # Metadata is cached as a *device array* (jax.device_put), never a
@@ -76,7 +102,12 @@ class SVG1Plan:
             lay = self.layout
             nsub = self.seq_pad_kv // MD.SUB
             bm = core_masks.execution_mask_block(
-                lay, self.multiplier, block_q=self.block_q, block_kv=MD.SUB
+                lay,
+                self.multiplier,
+                block_q=self.block_q,
+                block_kv=MD.SUB,
+                first_frame_sink=self.mask_kind == "band_sink",
+                round_mode="ceil" if self.mask_kind == "band_sink" else "floor",
             )
             bm = np.pad(
                 bm,
@@ -129,18 +160,27 @@ def make_svg1_plan(
     *,
     block_q: int = 512,
     block_kv: int = 512,
+    mask_kind: str | None = None,
 ) -> SVG1Plan:
+    from sparse_videogen_tpu.config import TextPosition
+
     mul = core_masks.sparsity_to_width(
         cfg.sparsity, layout.context_length, layout.num_frames, layout.frame_size
     )
-    return SVG1Plan(layout, cfg, warmup, mul, block_q, block_kv)
+    if mask_kind is None:
+        mask_kind = {
+            TextPosition.NONE: "band_sink",
+            TextPosition.LAST: "hyvideo",
+            TextPosition.FIRST: "cog",
+        }[layout.text_position]
+    return SVG1Plan(layout, cfg, warmup, mul, block_q, block_kv, mask_kind)
 
 
 def _pad_seq(x, s_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, 0)))
 
 
-def _run_kernel(q, k, v, meta, plan, mask_spec, interpret):
+def _run_kernel(q, k, v, meta, plan, mask_spec, interpret, aux=None):
     B, H, S, D = q.shape
     qf = _pad_seq(q, plan.seq_pad_q).reshape(B * H, plan.seq_pad_q, D)
     kv = pack_kv(
@@ -151,6 +191,7 @@ def _run_kernel(q, k, v, meta, plan, mask_spec, interpret):
         qf,
         kv,
         jnp.asarray(meta),
+        aux,
         block_q=plan.block_q,
         block_kv=plan.block_kv,
         mask_spec=mask_spec,
@@ -160,7 +201,7 @@ def _run_kernel(q, k, v, meta, plan, mask_spec, interpret):
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
-def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, *, interpret=None):
+def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *, interpret=None):
     """Sparse branch with metadata as an explicit operand.
 
     Metadata MUST flow in as a runtime argument: if it is captured as a
@@ -181,28 +222,28 @@ def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, *, interpre
     best = best_mask_idx(mses)  # (B, H): 0 spatial, 1 temporal
     is_t = (best == 1)[..., None, None]
     place = lambda x: jnp.where(is_t, jnp.take(x, gidx, axis=2), x)
-    o = _run_kernel(place(q), place(k), place(v), meta, plan, plan.mask_spec, interpret)
+    o = _run_kernel(place(q), place(k), place(v), meta, plan, plan.mask_spec, interpret, aux)
     return jnp.where(is_t, jnp.take(o, ginv, axis=2), o)
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
-def dense_impl(q, k, v, meta, plan: SVG1Plan, *, interpret=None):
+def dense_impl(q, k, v, meta, plan: SVG1Plan, aux=None, *, interpret=None):
     """Dense attention through the same kernel (explicit full metadata)."""
-    return _run_kernel(q, k, v, meta, plan, MaskSpec(), interpret)
+    return _run_kernel(q, k, v, meta, plan, plan.dense_mask_spec, interpret, aux)
 
 
-def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, *, interpret=None):
+def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level sparse entry (fetches plan metadata as a device arg)."""
     pc = plan.placement_consts()
     return svg1_sparse_impl(
-        q, k, v, rng, plan.sparse_meta(), pc["gather"], pc["inv_gather"], plan,
+        q, k, v, rng, plan.sparse_meta(), pc["gather"], pc["inv_gather"], plan, aux,
         interpret=interpret,
     )
 
 
-def dense_attention_kernel(q, k, v, plan: SVG1Plan, *, interpret=None):
+def dense_attention_kernel(q, k, v, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level dense entry through the same kernel."""
-    return dense_impl(q, k, v, plan.dense_meta(), plan, interpret=interpret)
+    return dense_impl(q, k, v, plan.dense_meta(), plan, aux, interpret=interpret)
 
 
 def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, interpret=None):
