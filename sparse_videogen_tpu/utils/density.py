@@ -1,0 +1,42 @@
+"""SAP density telemetry: JSONL logging + aggregation.
+
+Port of the reference's per-(timestep, layer) density log
+(svg/models/wan/attention.py:540-557) and the aggregation CLIs
+(svg/utils/density.py:27-47, densities_get_mean.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class DensityLogger:
+    def __init__(self, path: str | None):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            open(path, "w").close()
+
+    def log(self, timestep, layer: int, densities):
+        if not self.path:
+            return
+        d = np.asarray(densities, np.float64).ravel()
+        entry = {
+            "timestep": float(timestep),
+            "layer": int(layer),
+            "avg_density": float(d.mean()),
+            "density": d.tolist(),
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+
+def mean_density(path: str) -> float:
+    vals = []
+    with open(path) as f:
+        for line in f:
+            vals.append(json.loads(line)["avg_density"])
+    return float(np.mean(vals)) if vals else float("nan")

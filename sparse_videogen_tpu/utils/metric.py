@@ -1,0 +1,76 @@
+"""Video quality metrics: per-frame MSE / PSNR / SSIM (+ JSONL output).
+
+Port of the reference metric CLI (svg/utils/metric.py:58-221). LPIPS needs a
+pretrained net (lpips package, not vendored here); the CLI reports it only
+when the package is importable.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def mse(a, b):
+    return float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+
+
+def psnr(a, b, max_val: float = 1.0):
+    m = mse(a, b)
+    if m == 0:
+        return float("inf")
+    return float(10.0 * np.log10(max_val**2 / m))
+
+
+def _gaussian_kernel(size=11, sigma=1.5):
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    k = np.outer(g, g)
+    return k / k.sum()
+
+
+def ssim(a, b, max_val: float = 1.0):
+    """Single-channel or RGB (H, W[, C]) SSIM, gaussian window 11x1.5."""
+    from scipy.signal import convolve2d  # scipy ships with the base env
+
+    if a.ndim == 3:
+        return float(np.mean([ssim(a[..., c], b[..., c], max_val) for c in range(a.shape[-1])]))
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k = _gaussian_kernel()
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    mu_a = convolve2d(a, k, mode="valid")
+    mu_b = convolve2d(b, k, mode="valid")
+    s_aa = convolve2d(a * a, k, mode="valid") - mu_a**2
+    s_bb = convolve2d(b * b, k, mode="valid") - mu_b**2
+    s_ab = convolve2d(a * b, k, mode="valid") - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * s_ab + c2)
+    den = (mu_a**2 + mu_b**2 + c1) * (s_aa + s_bb + c2)
+    return float(np.mean(num / den))
+
+
+def video_metrics(video_a, video_b, *, max_val: float = 1.0):
+    """(T, H, W, C) videos -> list of per-frame metric dicts + means."""
+    assert video_a.shape == video_b.shape, (video_a.shape, video_b.shape)
+    frames = []
+    for t in range(video_a.shape[0]):
+        frames.append(
+            {
+                "frame": t,
+                "mse": mse(video_a[t], video_b[t]),
+                "psnr": psnr(video_a[t], video_b[t], max_val),
+                "ssim": ssim(video_a[t], video_b[t], max_val),
+            }
+        )
+    mean = {
+        k: float(np.mean([f[k] for f in frames])) for k in ("mse", "psnr", "ssim")
+    }
+    return frames, mean
+
+
+def write_jsonl(path: str, frames, mean):
+    with open(path, "w") as f:
+        for fr in frames:
+            f.write(json.dumps(fr) + "\n")
+        f.write(json.dumps({"mean": mean}) + "\n")
