@@ -191,3 +191,16 @@ class WanPipeline:
         if self.vae_decode is not None:
             return self.vae_decode(lat)
         return lat
+
+
+def export_video(video, path: str, fps: int = 16):
+    """video: (B, 3, T, H, W) in [-1, 1] -> .y4m via the native writer
+    (reference: diffusers export_to_video, wan_t2v_inference.py:166)."""
+    import numpy as np
+
+    from sparse_videogen_tpu.io.native import write_y4m
+
+    v = np.asarray(video)[0]
+    v = np.clip((v + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    v = np.transpose(v, (1, 2, 3, 0))  # (T, H, W, 3)
+    write_y4m(path, v, fps=fps)
