@@ -62,6 +62,10 @@ class UlyssesRuntime:
         consts_specs = jax.tree.map(lambda _: P(), consts)
 
         def wrapped(q, k, v, state_bh, t, rng, layer_idx, consts):
+            # NOTE: rng is deliberately replicated across shards — SVG1's
+            # profiling rows must match the single-device draw (parity), and
+            # SAP's cold k-means init sharing token *indices* across shards is
+            # statistically harmless (the gathered tokens differ per head).
             state_local = jax.tree.map(
                 lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
                 if (hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] == B and x.shape[1] == H // sp)
