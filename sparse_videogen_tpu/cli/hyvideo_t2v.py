@@ -1,0 +1,90 @@
+"""HunyuanVideo T2V CLI (flags mirror /root/reference/hyvideo_t2v_inference.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("hyvideo_t2v")
+    p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
+    p.add_argument("--model_dir", type=str, default=None)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--num_frames", type=int, default=129)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--embedded_guidance_scale", type=float, default=6.0)
+    p.add_argument("--flow_shift", type=float, default=7.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output_file", type=str, default="output_hy.npz")
+    p.add_argument("--pattern", type=str, default="SVG", choices=["SVG", "dense", "SAP"])
+    p.add_argument("--first_layers_fp", type=float, default=0.025)
+    p.add_argument("--first_times_fp", type=float, default=0.15)
+    p.add_argument("--num_sampled_rows", type=int, default=64)
+    p.add_argument("--sample_mse_max_row", type=int, default=10000)
+    p.add_argument("--sparsity", type=float, default=0.25)
+    p.add_argument("--num_q_centroids", type=int, default=400)
+    p.add_argument("--num_k_centroids", type=int, default=1000)
+    p.add_argument("--top_p_kmeans", type=float, default=0.9)
+    p.add_argument("--min_kc_ratio", type=float, default=0.0)
+    p.add_argument("--kmeans_iter_init", type=int, default=50)
+    p.add_argument("--kmeans_iter_step", type=int, default=2)
+    p.add_argument("--zero_step_kmeans_init", action="store_true")
+    p.add_argument("--smoke", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig
+    from sparse_videogen_tpu.models.hyvideo import model as HM
+    from sparse_videogen_tpu.pipelines.hyvideo import HyVideoPipeline
+    from sparse_videogen_tpu.utils.logging import logger
+    from sparse_videogen_tpu.utils.seed import seed_everything
+
+    seed_everything(args.seed)
+    if not (args.smoke or args.model_dir is None):
+        raise SystemExit("checkpoint flow requires text embeddings; use the library API")
+
+    logger.warning("smoke generation with random weights")
+    cfg = HM.HyVideoConfig(hidden_size=128, heads_num=8, mm_double_blocks_depth=2,
+                           mm_single_blocks_depth=2, rope_dim_list=(4, 6, 6),
+                           text_states_dim=64, text_states_dim_2=32, text_len=16)
+    params = HM.init_hyvideo_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(args.seed)
+    text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_states_dim)), jnp.float32)
+    mask = np.ones((1, cfg.text_len), np.int32)
+    mask[0, 10:] = 0
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.text_states_dim_2)), jnp.float32)
+
+    pipe = HyVideoPipeline(cfg, params)
+    lat = pipe.generate_latents(
+        text, jnp.asarray(mask), pooled, prompt_length=10,
+        height=min(args.height, 96), width=min(args.width, 128),
+        num_frames=min(args.num_frames, 9),
+        num_inference_steps=min(args.num_inference_steps, 3),
+        embedded_guidance_scale=args.embedded_guidance_scale,
+        flow_shift=args.flow_shift, pattern=args.pattern,
+        first_layers_fp=args.first_layers_fp, first_times_fp=args.first_times_fp,
+        svg=SVGConfig(num_sampled_rows=args.num_sampled_rows,
+                      sample_mse_max_row=args.sample_mse_max_row,
+                      sparsity=args.sparsity, profile_multiplier=1.5),
+        sap=SAPConfig(num_q_centroids=min(args.num_q_centroids, 8),
+                      num_k_centroids=min(args.num_k_centroids, 12),
+                      top_p_kmeans=args.top_p_kmeans,
+                      min_kc_ratio=args.min_kc_ratio,
+                      kmeans_iter_init=min(args.kmeans_iter_init, 8),
+                      kmeans_iter_step=args.kmeans_iter_step),
+        seed=args.seed,
+    )
+    np.savez(args.output_file, latents=np.asarray(lat))
+    logger.info(f"saved latents {lat.shape} -> {args.output_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -230,6 +230,10 @@ def hyvideo_forward(
     img = img.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(B, -1, C * pt * ph * pw)
     img = L.linear(params["img_in"], img)
     txt = _token_refiner(params["txt_in"], cfg, text_states, t, text_mask)
+    # the reference runs modulation/gates in the model dtype: pin stream and
+    # conditioning dtypes so the scan carries stay stable
+    txt = txt.astype(img.dtype)
+    vec = vec.astype(img.dtype)
 
     cos_np, sin_np = nd_rope_cos_sin(grid, cfg.rope_dim_list)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)

@@ -1,0 +1,123 @@
+"""HunyuanVideo T2V generation pipeline.
+
+Mirrors the reference entry flow (hyvideo_t2v_inference.py + diffusers
+HunyuanVideoPipeline): flow-match Euler scheduler (shift 7.0), embedded
+guidance (the cfg-distilled checkpoint runs ONE forward per step with
+guidance * 1000 instead of classifier-free pairs), prompt_length precomputed
+up front for the text-last sparse masks (hyvideo/utils.py:96+).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparse_videogen_tpu.config import (
+    SAPConfig,
+    SparseMode,
+    SVGConfig,
+    TextPosition,
+    VideoLayout,
+    WarmupSchedule,
+)
+from sparse_videogen_tpu.models.hyvideo import model as HM
+from sparse_videogen_tpu.schedulers import FlowMatchEuler
+from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
+from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+from sparse_videogen_tpu.utils.logging import logger
+
+VAE_SPATIAL = 8
+VAE_TEMPORAL = 4
+
+
+def hyvideo_layout(cfg: HM.HyVideoConfig, height: int, width: int, num_frames: int) -> VideoLayout:
+    """replace_hyvideo_attention geometry (hyvideo/inference.py:57-59)."""
+    pt, ph, pw = cfg.patch_size
+    nf = (1 + (num_frames - 1) // VAE_TEMPORAL) // pt
+    fs = (height // (VAE_SPATIAL * ph)) * (width // (VAE_SPATIAL * pw))
+    return VideoLayout(
+        num_frames=nf, frame_size=fs,
+        context_length=cfg.text_len, text_position=TextPosition.LAST,
+    )
+
+
+@dataclasses.dataclass
+class HyVideoPipeline:
+    model_cfg: HM.HyVideoConfig
+    params: dict
+    text_encoder: Optional[Callable] = None  # prompts -> (states, mask, pooled)
+    vae_decode: Optional[Callable] = None
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def generate_latents(
+        self,
+        text_states,  # (1, text_len, 4096)
+        text_mask,  # (1, text_len)
+        text_pooled,  # (1, 768)
+        *,
+        prompt_length: int,  # real prompt tokens (get_prompt_length analog)
+        height: int = 720,
+        width: int = 1280,
+        num_frames: int = 129,
+        num_inference_steps: int = 50,
+        embedded_guidance_scale: float = 6.0,
+        flow_shift: float = 7.0,
+        pattern: str = "SVG",
+        first_layers_fp: float = 0.025,
+        first_times_fp: float = 0.15,
+        svg: SVGConfig = SVGConfig(sparsity=0.25, profile_multiplier=1.5),
+        sap: SAPConfig = SAPConfig(),
+        seed: int = 0,
+    ):
+        cfg = self.model_cfg
+        layout = hyvideo_layout(cfg, height, width, num_frames)
+        sch = FlowMatchEuler(num_inference_steps, shift=flow_shift)
+        n_layers = cfg.mm_double_blocks_depth + cfg.mm_single_blocks_depth
+        warmup = WarmupSchedule.from_fractions(
+            first_layers_fp, first_times_fp, n_layers, sch.timesteps
+        )
+        plan = make_svg1_plan(layout, svg, warmup)
+        mode = SparseMode(pattern)
+        if mode == SparseMode.DENSE:
+            runtime = DenseRuntime(plan, prompt_length=prompt_length)
+        elif mode == SparseMode.SVG:
+            runtime = SVG1Runtime(plan, prompt_length=prompt_length)
+        else:
+            # NOTE round 2: SAP prompt/padding block post-processing
+            # (hyvideo/attention.py:657-702) — until then SAP treats the text
+            # tail like video tokens.
+            runtime = SAPRuntime(plan, sap, warmup)
+
+        F_lat = 1 + (num_frames - 1) // VAE_TEMPORAL
+        H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL
+        key = jax.random.PRNGKey(seed)
+        key, nkey = jax.random.split(key)
+        lat = jax.random.normal(nkey, (1, cfg.in_channels, F_lat, H_lat, W_lat), jnp.float32)
+        logger.info(
+            f"hyvideo generate: seq={layout.seq_len} (video {layout.video_length} + text {cfg.text_len}), "
+            f"steps={num_inference_steps}, pattern={pattern}, prompt_len={prompt_length}"
+        )
+
+        consts = runtime.consts()
+        astates = runtime.init_state(cfg.heads_num, cfg.head_dim, n_layers)
+        guidance = jnp.full((1,), embedded_guidance_scale * 1000.0, jnp.float32)
+
+        @jax.jit
+        def fwd(params, lat, t, states, consts, key):
+            v, states = HM.hyvideo_forward(
+                params, cfg, lat.astype(self.dtype), jnp.full((1,), t, jnp.float32),
+                text_states.astype(self.dtype), text_mask, text_pooled.astype(self.dtype),
+                guidance=guidance, attention=runtime, attn_states=states,
+                attn_consts=consts, rng=key,
+            )
+            return v, states
+
+        sstate = sch.init_state()
+        for i in range(num_inference_steps):
+            t = float(sch.timesteps[i])
+            v, astates = fwd(self.params, lat, t, astates, consts, jax.random.fold_in(key, i))
+            lat, sstate = sch.step(i, lat, v, sstate)
+        return lat
