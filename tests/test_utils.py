@@ -1,0 +1,72 @@
+"""Utility layer tests: metrics, timer, dataloader, quant, visualizer, native IO."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_videogen_tpu.utils import metric as M
+from sparse_videogen_tpu.utils import timer as T
+from sparse_videogen_tpu.utils.dataloader import load_prompts
+from sparse_videogen_tpu.utils.quant import pseudo_quantize_absmax_perhead
+
+
+def test_psnr_ssim_identity_and_noise():
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 32, 32, 3)).astype(np.float32)
+    frames, mean = M.video_metrics(a, a)
+    assert mean["psnr"] == float("inf") and abs(mean["ssim"] - 1.0) < 1e-6
+    b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(np.float32)
+    _, mean2 = M.video_metrics(a, b)
+    assert 20 < mean2["psnr"] < 40 and 0.2 < mean2["ssim"] < 1.0
+
+
+def test_timer(monkeypatch, capsys):
+    monkeypatch.setenv("TIME_BENCH", "2")
+    with T.time_logging("unit - sleepless"):
+        sum(range(1000))
+    T.print_operator_log_data()
+    out = capsys.readouterr().out
+    assert "unit - sleepless" in out
+    assert not T.get_log()[0]  # cleared at level 2
+
+
+def test_dataloader(tmp_path):
+    d = tmp_path / "examples"
+    for i in range(2):
+        sub = d / str(i)
+        sub.mkdir(parents=True)
+        (sub / "prompt.txt").write_text(f"prompt {i}")
+    (d / "1" / "image.png").write_bytes(b"x")
+    items = load_prompts(str(d))
+    assert items[0] == ("prompt 0", None)
+    assert items[1][0] == "prompt 1" and items[1][1].endswith("image.png")
+    assert load_prompts("a literal prompt") == [("a literal prompt", None)]
+
+
+def test_pseudo_quant_error_shrinks_with_bits():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 2, 64, 16)), jnp.float32)
+    e8 = float(jnp.abs(pseudo_quantize_absmax_perhead(x, 8) - x).max())
+    e4 = float(jnp.abs(pseudo_quantize_absmax_perhead(x, 4) - x).max())
+    assert e8 < e4 < 1.0 and e8 > 0
+
+
+def test_visualizer_and_native_video(tmp_path):
+    from sparse_videogen_tpu.ops import metadata as MD
+    from sparse_videogen_tpu.utils.visualize import visualize_meta
+
+    bm = np.zeros((1, 4, 8), bool)
+    bm[0, range(4), range(4)] = True
+    meta = MD.chunk_meta_np(bm, np.full((1, 8), 128, np.int32), block_kv=128)
+    art = visualize_meta(meta, block_kv=128, seq_kv=1024)
+    assert "density" in art and "#" in art
+
+    from sparse_videogen_tpu.io.native import write_y4m
+
+    vid = (np.random.default_rng(0).random((3, 16, 16, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "t.y4m")
+    write_y4m(p, vid, fps=8)
+    head = open(p, "rb").read(32)
+    assert head.startswith(b"YUV4MPEG2 W16 H16 F8:1")
