@@ -184,6 +184,7 @@ def block_sparse_attention_kv(
     Skv = kv.shape[1]
     assert q.shape[2] == D, (q.shape, kv.shape)
     assert Sq % block_q == 0 and Skv % SUB == 0 and Skv >= block_kv
+
     nQ = Sq // block_q
     R = meta.shape[0]
     assert meta.shape[1] == nQ and R in (1, BH), (meta.shape, BH, nQ)
@@ -200,6 +201,10 @@ def block_sparse_attention_kv(
         aux = jnp.zeros((4,), jnp.int32)
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
+    # Mosaic HBM DMA slices must be 128-aligned on the minor dim: packed
+    # [K|V] needs 2*head_dim % 128 == 0 (i.e. head_dim >= 64) on real TPUs.
+    if not interpret:
+        assert D2 % 128 == 0, f"packed KV minor dim {D2} must be a multiple of 128"
 
     kernel = functools.partial(
         _kernel,
