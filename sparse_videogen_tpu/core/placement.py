@@ -10,8 +10,7 @@ TPU design: instead of a per-head branch (which would force recompilation or
 divergent control flow), build per-head gather indices
     idx[b, h, :] = temporal_map      if best_mask_idx[b,h] == 1
                    identity          otherwise
-and perform one `take_along_axis`. XLA lowers this to a single fused gather;
-a Pallas fused variant lives in ops/placement_pallas.py.
+and perform one `take_along_axis`. XLA lowers this to a single fused gather.
 """
 
 from __future__ import annotations
