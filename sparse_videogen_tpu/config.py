@@ -129,12 +129,18 @@ class SAPConfig:
     kmeans_iter_init: int = 50
     kmeans_iter_step: int = 2
     zero_step_kmeans_init: bool = False
-    # TPU-specific: clusters are padded to multiples of this block size during
-    # permutation so every attention block maps to exactly one cluster pair
-    # (replaces the reference's variable-block FlashInfer kernel with a
-    # block-aligned Pallas kernel; see SURVEY.md section 7 "hard parts").
+    # TPU-specific: queries are permuted cluster-contiguously with each
+    # cluster padded to a multiple of block_q (every q block then maps to
+    # exactly one q cluster); keys/values are permuted UNPADDED and the
+    # kernel walks run-list metadata in block_kv-token chunks (replaces the
+    # reference's variable-block FlashInfer kernel; SURVEY.md section 7).
     block_q: int = 128
-    block_kv: int = 128
+    block_kv: int = 512
+    # max maximal-runs per (head, q-cluster) metadata row. None = exact
+    # (num_k_centroids). Production configs can lower it (popularity
+    # relabeling keeps real run counts small); rows with more runs are
+    # truncated (missing attention) — keep a safety margin.
+    max_runs: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

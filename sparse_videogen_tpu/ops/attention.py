@@ -243,6 +243,232 @@ def block_sparse_attention_kv(
     )(aux, meta, q, kv)
 
 
+# ---------------------------------------------------------------------------
+# Runs mode: metadata is a per-row list of maximal token runs [a, b) in the
+# (cluster-contiguously permuted, UNPADDED) KV array; the kernel splits runs
+# into block_kv-token chunks with scalar math (see ops/metadata.py run_meta_*).
+# This is the SAP/SVG2 path at production scale: no cluster padding, metadata
+# O(runs-per-row) instead of O(chunks).
+# ---------------------------------------------------------------------------
+
+
+def _runs_kernel(
+    aux_ref,
+    meta_hbm,  # HBM (R, nQ8, L) int32: [n_chunks, a0, b0, a1, b1, ...]
+    q_ref,
+    kv_ref,
+    o_ref,
+    meta_ref,
+    kvbuf,
+    meta_sem,
+    kv_sems,
+    *,
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    mask_spec: MaskSpec,
+    scale: float,
+    meta_rows: int,
+    nbuf: int,
+    nsub: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    b_meta = 0 if meta_rows == 1 else b
+    D = head_dim
+    C = block_kv // SUB
+    max_r = (meta_ref.shape[1] - 1) // 2 - 1
+
+    grp = (i // 8) * 8
+    sub = i % 8
+    meta_dma = lambda: pltpu.make_async_copy(
+        meta_hbm.at[b_meta, pl.ds(grp, 8), :], meta_ref, meta_sem
+    )
+
+    @pl.when(sub == 0)
+    def _():
+        meta_dma().start()
+        meta_dma().wait()
+
+    n = meta_ref[sub, 0]
+
+    def run_ab(r):
+        rr = jnp.minimum(r, max_r)
+        return meta_ref[sub, 1 + 2 * rr], meta_ref[sub, 2 + 2 * rr]
+
+    def chunk_of(r, k):
+        """DMA start sub-block idx + valid window [lo, hi) for chunk k of run r."""
+        a, bb = run_ab(r)
+        base = (a // SUB) * SUB
+        s0 = base + k * block_kv
+        idxu = s0 // SUB
+        idx = jnp.minimum(idxu, nsub - C)
+        off = (idxu - idx) * SUB
+        lo = jnp.maximum(a - s0, 0) + off
+        hi = jnp.minimum(bb - s0, block_kv) + off
+        return idx, lo, hi
+
+    def advance(r, k):
+        a, bb = run_ab(r)
+        base = (a // SUB) * SUB
+        m = (bb - base + block_kv - 1) // block_kv
+        last = k + 1 >= m
+        return jnp.where(last, r + 1, r), jnp.where(last, 0, k + 1)
+
+    def kv_copy(slot, idx):
+        return pltpu.make_async_copy(
+            kv_ref.at[b, pl.ds(idx * SUB, block_kv), :],
+            kvbuf.at[slot],
+            kv_sems.at[slot],
+        )
+
+    rp = jnp.int32(0)
+    kp = jnp.int32(0)
+    for w in range(nbuf - 1):
+        idx_w, _, _ = chunk_of(rp, kp)
+
+        @pl.when(w < n)
+        def _():
+            kv_copy(w % nbuf, idx_w).start()
+
+        rp, kp = advance(rp, kp)
+
+    def body(j, carry):
+        acc, m, l, rc, kc, rp, kp = carry
+        slot = j % nbuf
+
+        idx_p, _, _ = chunk_of(rp, kp)
+
+        @pl.when(j + nbuf - 1 < n)
+        def _():
+            kv_copy((j + nbuf - 1) % nbuf, idx_p).start()
+
+        rp, kp = advance(rp, kp)
+
+        idx, lo, hi = chunk_of(rc, kc)
+        kv_copy(slot, idx).wait()
+        k_blk = kvbuf[slot][:, :D]
+        v_blk = kvbuf[slot][:, D:]
+        q = q_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+        allowed = (col >= lo) & (col < hi)
+        if mask_spec.kind != "none":
+            qpos = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            kpos = idx * SUB + col
+            allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
+        s = jnp.where(allowed, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(allowed, p, 0.0)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype),
+            v_blk,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        rc, kc = advance(rc, kc)
+        return (acc, m_new, l, rc, kc, rp, kp)
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    z = jnp.int32(0)
+    acc, m, l, *_ = jax.lax.fori_loop(0, n, body, (acc0, m0, l0, z, z, rp, kp))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret"),
+)
+def block_sparse_attention_runs(
+    q,  # (BH, Sq, D), Sq % block_q == 0
+    kv,  # (BH, Skv, 2D) packed [K|V], Skv % 128 == 0, Skv >= block_kv
+    meta,  # (R, nQ, 1 + 2*cap) int32 run lists, R in {1, BH}
+    aux=None,
+    *,
+    block_q: int = 128,
+    block_kv: int = 512,
+    mask_spec: MaskSpec = MaskSpec(),
+    scale: float | None = None,
+    nbuf: int = 3,
+    interpret: bool | None = None,
+):
+    """Block-sparse flash attention over run-list metadata (see run_meta_jnp)."""
+    BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
+    D = D2 // 2
+    Skv = kv.shape[1]
+    assert q.shape[2] == D, (q.shape, kv.shape)
+    assert Sq % block_q == 0 and Skv % SUB == 0 and Skv >= block_kv
+
+    nQ = Sq // block_q
+    R = meta.shape[0]
+    assert meta.shape[1] == nQ and R in (1, BH), (meta.shape, BH, nQ)
+    row_len = meta.shape[-1]
+    row_pad = -(-row_len // 128) * 128
+    nq_pad = -(-nQ // 8) * 8
+    if row_pad != row_len or nq_pad != nQ:
+        meta = jnp.pad(meta, ((0, 0), (0, nq_pad - nQ), (0, row_pad - row_len)))
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if aux is None:
+        aux = jnp.zeros((4,), jnp.int32)
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    if not interpret:
+        assert D2 % 128 == 0, f"packed KV minor dim {D2} must be a multiple of 128"
+
+    kernel = functools.partial(
+        _runs_kernel,
+        block_q=block_q,
+        block_kv=block_kv,
+        head_dim=D,
+        mask_spec=mask_spec,
+        scale=scale,
+        meta_rows=R,
+        nbuf=nbuf,
+        nsub=Skv // SUB,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, nQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((8, row_pad), jnp.int32),
+            pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(aux, meta, q, kv)
+
+
 def block_sparse_attention(q, k, v, meta, aux=None, **kw):
     """Convenience wrapper taking separate K/V (packs into one [K|V] array)."""
     return block_sparse_attention_kv(q, pack_kv(k, v), meta, aux, **kw)

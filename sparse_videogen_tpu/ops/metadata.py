@@ -166,6 +166,132 @@ def chunk_meta_jnp(mask, counts, *, block_kv: int, cap: int):
 import jax  # noqa: E402  (used by chunk_meta_jnp)
 
 
+# ---------------------------------------------------------------------------
+# Run-list metadata ("runs" mode)
+#
+# Motivation (round 2): SAP at the reference 720p config (kc=1000) cannot
+# afford 128-aligned cluster padding — padding inflates KV 2.7x. In runs mode
+# the KV tokens are permuted cluster-contiguously *unpadded*, and a row's
+# visited set is a short list of maximal token runs [a, b): adjacent selected
+# clusters merge into one run. The kernel splits runs into block_kv-token
+# chunks with scalar math (ops/attention.py block_sparse_attention_runs), so
+# the metadata is O(runs) = tens of words per row instead of O(chunks).
+#
+# Row format: meta[r, i, :] = [n_chunks, a_0, b_0, a_1, b_1, ...]
+#   n_chunks = sum over listed runs of ceil((b - floor128(a)) / block_kv),
+#   runs ascending, non-overlapping. The chunk walk is:
+#     chunk k of run (a,b): DMA start idx = clamp(floor128(a)/128 + k*C,
+#     nsub-C); valid window [max(a, base+k*bkv), min(b, base+(k+1)*bkv))
+#     relative to idx*128, where base = floor128(a).
+# ---------------------------------------------------------------------------
+
+
+def run_meta_row_len(cap: int) -> int:
+    return 1 + 2 * cap
+
+
+def _run_chunks(a, b, block_kv):
+    base = (a // SUB) * SUB
+    return -(-(b - base) // block_kv)
+
+
+def run_meta_jnp(sel, starts, sizes, *, block_kv: int, cap: int):
+    """Traced run-list builder.
+
+    Args:
+      sel:    (R, NR, C) bool — per metadata row, which clusters are visited.
+      starts: (R, C) int32 — exclusive cumsum of cluster sizes (token offset
+              of each cluster in the cluster-contiguous permuted KV array).
+      sizes:  (R, C) int32 — cluster sizes (empty clusters allowed).
+      block_kv: kernel chunk size in tokens (for the n_chunks count).
+      cap: max runs kept per row. Rows with more runs are silently truncated
+           (callers must size cap; cap=C is always exact).
+
+    Returns meta (R, NR, 1 + 2*cap) int32.
+    """
+    R, NR, C = sel.shape
+    starts = starts.astype(jnp.int32)
+    ends = (starts + sizes).astype(jnp.int32)
+    sel = sel & (sizes > 0)[:, None, :]
+
+    prev = jnp.concatenate([jnp.zeros_like(sel[..., :1]), sel[..., :-1]], axis=-1)
+    nxt = jnp.concatenate([sel[..., 1:], jnp.zeros_like(sel[..., :1])], axis=-1)
+    run_start = sel & ~prev
+    run_end = sel & ~nxt
+
+    org = jnp.where(run_start, starts[:, None, :], -1)
+    run_origin = jax.lax.associative_scan(jnp.maximum, org, axis=-1)
+
+    # compact the run-end clusters to the front (stable: ascending order kept)
+    cap_eff = min(cap, C)
+    order = jnp.argsort(~run_end, axis=-1, stable=True).astype(jnp.int32)[..., :cap_eff]
+    is_run = jnp.take_along_axis(run_end, order, axis=-1)
+    a = jnp.where(is_run, jnp.take_along_axis(run_origin, order, axis=-1), 0)
+    b = jnp.where(is_run, jnp.take_along_axis(jnp.broadcast_to(ends[:, None, :], sel.shape), order, axis=-1), 0)
+    m = jnp.where(is_run, _run_chunks(a, b, block_kv), 0)
+    n = jnp.sum(m, axis=-1, dtype=jnp.int32)
+
+    entries = jnp.stack([a, b], axis=-1).reshape(R, NR, 2 * cap_eff)
+    if cap_eff < cap:
+        entries = jnp.pad(entries, ((0, 0), (0, 0), (0, 2 * (cap - cap_eff))))
+    return jnp.concatenate([n[..., None], entries], axis=-1).astype(jnp.int32)
+
+
+def run_meta_np(sel, starts, sizes, *, block_kv: int, cap: int | None = None):
+    """Numpy oracle with identical semantics (tests / trace-time)."""
+    sel = np.asarray(sel)
+    starts = np.asarray(starts)
+    sizes = np.asarray(sizes)
+    R, NR, C = sel.shape
+    rows = []
+    max_runs = 0
+    for r in range(R):
+        for i in range(NR):
+            runs = []
+            c = 0
+            while c < C:
+                # zero-size clusters break runs (matching the jnp builder)
+                if sel[r, i, c] and sizes[r, c] > 0:
+                    a = int(starts[r, c])
+                    b = int(starts[r, c] + sizes[r, c])
+                    c += 1
+                    while c < C and sel[r, i, c] and sizes[r, c] > 0:
+                        b = int(starts[r, c] + sizes[r, c])
+                        c += 1
+                    runs.append((a, b))
+                else:
+                    c += 1
+            rows.append(runs)
+            max_runs = max(max_runs, len(runs))
+    if cap is None:
+        cap = max(max_runs, 1)
+    meta = np.zeros((R, NR, run_meta_row_len(cap)), np.int32)
+    it = iter(rows)
+    for r in range(R):
+        for i in range(NR):
+            runs = next(it)[:cap]
+            meta[r, i, 0] = sum(_run_chunks(a, b, block_kv) for a, b in runs)
+            for e, (a, b) in enumerate(runs):
+                meta[r, i, 1 + 2 * e] = a
+                meta[r, i, 2 + 2 * e] = b
+    return meta
+
+
+def decode_run_meta(meta, *, seq_kv: int):
+    """Decode run-list metadata -> per-row boolean token mask (tests only)."""
+    meta = np.asarray(meta)
+    R, NR, L = meta.shape
+    cap = (L - 1) // 2
+    out = np.zeros((R, NR, seq_kv), bool)
+    for r in range(R):
+        for i in range(NR):
+            for e in range(cap):
+                a = meta[r, i, 1 + 2 * e]
+                b = meta[r, i, 2 + 2 * e]
+                out[r, i, a:b] = True
+    return out
+
+
 def dense_meta(seq_q: int, seq_kv: int, *, block_q: int, block_kv: int) -> np.ndarray:
     """Metadata visiting every kv token (dense attention), R=1."""
     nQ = -(-seq_q // block_q)

@@ -6,12 +6,15 @@ Reference flow: WanAttn_SAPAttn_Processor.attention_core_logic
 semantic_aware_permutation (:447-476).
 
 TPU re-design decisions (vs the reference's CUDA/FlashInfer path):
-- Variable cluster blocks become 128-aligned padded spans
-  (core/permute.padded_permutation); per-chunk [lo,hi) windows mask the
-  padding exactly, so the softmax equals the variable-block formulation
-  bit-for-bit.
+- Queries: variable cluster blocks become block_q-aligned padded spans
+  (core/permute.padded_permutation) so each q block maps to one q cluster.
+- Keys/values: permuted cluster-contiguously UNPADDED; a row's visited set
+  is a short list of maximal token runs [a, b) (adjacent selected clusters
+  merge), walked in block_kv chunks by the kernel with exact [lo, hi)
+  windows — softmax equals the variable-block formulation bit-for-bit and
+  no padding inflation occurs (at kc=1000 padding would inflate KV 2.7x).
 - The per-step FlashInfer plan() disappears: metadata is traced integer math
-  (ops/metadata.chunk_meta_jnp).
+  (ops/metadata.run_meta_jnp) at (head, q-cluster) granularity.
 - KV clusters are relabeled in descending keep-popularity order before
   permutation, which coalesces each row's visited blocks into longer runs so
   the kernel can use 512-token DMA chunks (a pure layout heuristic — the
@@ -34,7 +37,7 @@ from sparse_videogen_tpu.core import permute as core_permute
 from sparse_videogen_tpu.core.dynamic_map import density_calculation, identify_dynamic_map
 from sparse_videogen_tpu.core.kmeans import batch_kmeans, init_centroids
 from sparse_videogen_tpu.ops import metadata as MD
-from sparse_videogen_tpu.ops.attention import block_sparse_attention_kv, pack_kv
+from sparse_videogen_tpu.ops.attention import block_sparse_attention_runs, pack_kv
 
 
 @jax.tree_util.register_dataclass
@@ -153,28 +156,34 @@ def sap_sparse_attention(
     # 3. popularity relabel (coalesces kv runs; output-invariant)
     dyn_f, klab, ksz, _ = popularity_relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)
 
-    # 4. block-aligned padded permutations
+    # 4. permutations. Queries: block-aligned padded permutation (each q block
+    #    maps to exactly one q cluster). Keys/values: UNPADDED cluster-
+    #    contiguous sort — no 128-alignment padding (which inflated KV 2.7x at
+    #    the reference kc=1000 config); partial-block cluster boundaries are
+    #    handled exactly by the run-list metadata windows.
     sq_pad = core_permute.padded_seq_len(S, QC, bq)
-    sk_pad = max(core_permute.padded_seq_len(S, KC, MD.SUB), bkv)
     qmaps = core_permute.padded_permutation(qlab, qsz, n_clusters=QC, block=bq, s_pad=sq_pad)
-    kmaps = core_permute.padded_permutation(klab, ksz, n_clusters=KC, block=MD.SUB, s_pad=sk_pad)
-
     qp = core_permute.gather_padded(qf, qmaps["src"])
-    # pack K|V first so the permutation costs ONE row-gather, not two
-    kv = core_permute.gather_padded(pack_kv(kf, vf), kmaps["src"])
 
-    # 5. block mask -> chunked CSR metadata
-    nQ = sq_pad // bq
-    nsub = sk_pad // MD.SUB
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
+    _, kperm = jax.lax.sort_key_val(klab, iota, dimension=-1)
+    kv = jnp.take_along_axis(pack_kv(kf, vf), kperm[..., None], axis=1)
+    sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
+    if sk_pad != S:
+        kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
+
+    # 5. run-list metadata per (head, q-cluster) row, expanded to q blocks
+    zero = jnp.zeros_like(ksz[..., :1])
+    kstarts = jnp.cumsum(jnp.concatenate([zero, ksz[..., :-1]], axis=-1), axis=-1)
+    cap = cfg.max_runs or KC
+    meta_c = MD.run_meta_jnp(dyn_f, kstarts, ksz, block_kv=bkv, cap=cap)
     qb_c = qmaps["block_to_cluster"]  # (BH, nQ)
-    kb_c = kmaps["block_to_cluster"]  # (BH, nsub)
-    mask = jnp.take_along_axis(dyn_f, qb_c[..., None], axis=1)  # (BH, nQ, KC)
-    mask = jnp.take_along_axis(mask, kb_c[:, None, :], axis=2)  # (BH, nQ, nsub)
-    mask = mask & (qmaps["kv_counts"] > 0)[..., None]  # kill padding q rows
-    meta = MD.chunk_meta_jnp(mask, kmaps["kv_counts"], block_kv=bkv, cap=nsub)
+    meta = jnp.take_along_axis(meta_c, qb_c[..., None], axis=1)  # (BH, nQ, L)
+    qblk_valid = qmaps["kv_counts"] > 0  # (BH, nQ): block holds >=1 real token
+    meta = meta.at[..., 0].set(jnp.where(qblk_valid, meta[..., 0], 0))
 
     # 6. kernel + inverse permutation
-    out_pad = block_sparse_attention_kv(
+    out_pad = block_sparse_attention_runs(
         qp, kv, meta, block_q=bq, block_kv=bkv, interpret=interpret
     )
     out = core_permute.ungather_padded(out_pad, qmaps["pos"]).reshape(B, H, S, D)

@@ -1,0 +1,97 @@
+"""Run-list metadata + runs-mode kernel: oracle exactness.
+
+Covers the SVG2/SAP production path introduced in round 2 (unpadded KV):
+  - run_meta_jnp == run_meta_np on random cluster layouts (incl. empty
+    clusters and clusters crossing 128-token sub-block boundaries)
+  - block_sparse_attention_runs == dense masked attention on the decoded mask
+  - array-end DMA clamping (runs ending at unaligned sequence tails)
+  - cap truncation drops whole runs (documented semantics)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sparse_videogen_tpu.core.attention_ref import masked_attention
+from sparse_videogen_tpu.ops import metadata as MD
+from sparse_videogen_tpu.ops.attention import block_sparse_attention_runs, pack_kv
+
+
+def _random_clusters(rng, BH, C, S):
+    w = rng.random(C)
+    w[rng.integers(0, C)] = 0.0  # force an empty cluster
+    sizes = np.floor(w / max(w.sum(), 1e-9) * S).astype(np.int32)
+    sizes[np.argmax(sizes)] += S - sizes.sum()
+    sizes = np.tile(sizes, (BH, 1))
+    starts = np.concatenate(
+        [np.zeros((BH, 1), np.int32), np.cumsum(sizes, axis=1)[:, :-1]], axis=1
+    )
+    return sizes, starts
+
+
+@pytest.mark.parametrize("seed,bkv", [(0, 256), (1, 512), (2, 512), (3, 256)])
+def test_runs_kernel_oracle(seed, bkv):
+    rng = np.random.default_rng(seed)
+    BH = int(rng.integers(1, 4))
+    C = int(rng.integers(3, 20))
+    S = int(rng.integers(200, 1500))
+    bq, Sq, D = 128, 256, 64
+
+    sizes, starts = _random_clusters(rng, BH, C, S)
+    NR = Sq // bq
+    sel = rng.random((BH, NR, C)) < 0.45
+    Skv = -(-max(S, bkv) // 128) * 128
+
+    meta_np = MD.run_meta_np(sel, starts, sizes, block_kv=bkv, cap=C)
+    meta_j = np.asarray(
+        MD.run_meta_jnp(jnp.asarray(sel), jnp.asarray(starts), jnp.asarray(sizes), block_kv=bkv, cap=C)
+    )
+    assert np.array_equal(meta_np, meta_j)
+
+    mask = np.repeat(MD.decode_run_meta(meta_np, seq_kv=Skv), bq, axis=1)
+    q = rng.standard_normal((BH, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((BH, Skv, D)).astype(np.float32)
+    v = rng.standard_normal((BH, Skv, D)).astype(np.float32)
+
+    out = np.asarray(
+        block_sparse_attention_runs(
+            jnp.asarray(q), pack_kv(jnp.asarray(k), jnp.asarray(v)), jnp.asarray(meta_j),
+            block_q=bq, block_kv=bkv,
+        )
+    )
+    ref = np.asarray(masked_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)))
+    any_row = mask.any(-1)[..., None]
+    np.testing.assert_allclose(
+        np.where(any_row, out, 0), np.where(any_row, ref, 0), atol=2e-5
+    )
+
+
+def test_adjacent_selected_clusters_merge():
+    sizes = np.array([[100, 50, 70, 30]], np.int32)
+    starts = np.array([[0, 100, 150, 220]], np.int32)
+    sel = np.array([[[True, True, False, True]]])
+    meta = MD.run_meta_np(sel, starts, sizes, block_kv=512, cap=4)
+    # runs: [0,150) merged, [220,250)
+    assert meta[0, 0, 1:5].tolist() == [0, 150, 220, 250]
+    assert meta[0, 0, 0] == 1 + 1  # one chunk each ((150-0)/512 -> 1; 30 tok -> 1)
+
+
+def test_empty_cluster_breaks_run():
+    sizes = np.array([[100, 0, 70]], np.int32)
+    starts = np.array([[0, 100, 100]], np.int32)
+    sel = np.array([[[True, True, True]]])
+    meta = MD.run_meta_np(sel, starts, sizes, block_kv=512, cap=4)
+    assert meta[0, 0, 1:5].tolist() == [0, 100, 100, 170]
+    meta_j = np.asarray(
+        MD.run_meta_jnp(jnp.asarray(sel), jnp.asarray(starts), jnp.asarray(sizes), block_kv=512, cap=4)
+    )
+    assert np.array_equal(meta, meta_j)
+
+
+def test_cap_truncation_drops_whole_runs():
+    sizes = np.full((1, 6), 10, np.int32)
+    starts = (np.arange(6, dtype=np.int32) * 10)[None]
+    sel = np.array([[[True, False, True, False, True, False]]])  # 3 runs
+    meta = MD.run_meta_np(sel, starts, sizes, block_kv=512, cap=2)
+    assert meta[0, 0, 0] == 2  # only the first two runs' chunks counted
+    assert meta[0, 0, 1:5].tolist() == [0, 10, 20, 30]
