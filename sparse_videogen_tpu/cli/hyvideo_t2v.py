@@ -48,42 +48,89 @@ def main(argv=None):
     from sparse_videogen_tpu.utils.seed import seed_everything
 
     seed_everything(args.seed)
-    if not (args.smoke or args.model_dir is None):
-        raise SystemExit("checkpoint flow requires text embeddings; use the library API")
 
-    logger.warning("smoke generation with random weights")
-    cfg = HM.HyVideoConfig(hidden_size=128, heads_num=8, mm_double_blocks_depth=2,
-                           mm_single_blocks_depth=2, rope_dim_list=(4, 6, 6),
-                           text_states_dim=64, text_states_dim_2=32, text_len=16)
-    params = HM.init_hyvideo_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(args.seed)
-    text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_states_dim)), jnp.float32)
-    mask = np.ones((1, cfg.text_len), np.int32)
-    mask[0, 10:] = 0
-    pooled = jnp.asarray(rng.standard_normal((1, cfg.text_states_dim_2)), jnp.float32)
+    vae_decode = None
+    if args.smoke or args.model_dir is None:
+        logger.warning("smoke generation with random weights")
+        # head_dim 64 (2*head_dim % 128 == 0): the kernel's packed-KV DMA needs
+        # it on real TPUs (ops/attention.py)
+        cfg = HM.HyVideoConfig(hidden_size=256, heads_num=4, mm_double_blocks_depth=2,
+                               mm_single_blocks_depth=2, rope_dim_list=(16, 24, 24),
+                               text_states_dim=64, text_states_dim_2=32, text_len=16)
+        params = HM.init_hyvideo_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(args.seed)
+        text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_states_dim)), jnp.float32)
+        mask = np.ones((1, cfg.text_len), np.int32)
+        mask[0, 10:] = 0
+        pooled = jnp.asarray(rng.standard_normal((1, cfg.text_states_dim_2)), jnp.float32)
+        args.height, args.width = min(args.height, 96), min(args.width, 128)
+        args.num_frames = min(args.num_frames, 9)
+        args.num_inference_steps = min(args.num_inference_steps, 3)
+        args.num_q_centroids = min(args.num_q_centroids, 8)
+        args.num_k_centroids = min(args.num_k_centroids, 12)
+        args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
+    else:
+        import os
+
+        from sparse_videogen_tpu.io.checkpoint import (
+            convert_hyvideo_dit,
+            dataclass_from_json,
+            load_safetensors_dir,
+        )
+        from sparse_videogen_tpu.io.encoders import HyVideoTextEncoders
+
+        tdir = os.path.join(args.model_dir, "transformer")
+        cfg = dataclass_from_json(tdir, HM.HyVideoConfig) or HM.HYVIDEO_T2
+        params = convert_hyvideo_dit(load_safetensors_dir(tdir), cfg)
+        logger.info("encoding prompt with LLaMA template + CLIP-L (text_encoder/__init__.py)")
+        enc = HyVideoTextEncoders.from_dir(args.model_dir, text_len=cfg.text_len)
+        text, mask, pooled = enc([args.prompt])
+        del enc  # free LLaMA weights before the DiT runs
+
+        vae_dir = os.path.join(args.model_dir, "vae")
+        if os.path.isdir(vae_dir):
+            from sparse_videogen_tpu.io.checkpoint import convert_hyvideo_vae
+            from sparse_videogen_tpu.models.hyvideo import vae as HVV
+
+            vcfg = dataclass_from_json(vae_dir, HVV.HyVideoVAEConfig) or HVV.HyVideoVAEConfig()
+            vparams = convert_hyvideo_vae(load_safetensors_dir(vae_dir), vcfg)
+            vae_decode = jax.jit(lambda z: HVV.vae_decode(vparams, vcfg, z))
+        else:
+            logger.warning(f"no {vae_dir}: saving latents instead of video")
 
     pipe = HyVideoPipeline(cfg, params)
+    mask = jnp.asarray(mask)
     lat = pipe.generate_latents(
-        text, jnp.asarray(mask), pooled, prompt_length=10,
-        height=min(args.height, 96), width=min(args.width, 128),
-        num_frames=min(args.num_frames, 9),
-        num_inference_steps=min(args.num_inference_steps, 3),
+        text, mask, pooled, prompt_length=int(np.asarray(mask)[0].sum()),
+        height=args.height, width=args.width,
+        num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
         embedded_guidance_scale=args.embedded_guidance_scale,
         flow_shift=args.flow_shift, pattern=args.pattern,
         first_layers_fp=args.first_layers_fp, first_times_fp=args.first_times_fp,
         svg=SVGConfig(num_sampled_rows=args.num_sampled_rows,
                       sample_mse_max_row=args.sample_mse_max_row,
                       sparsity=args.sparsity, profile_multiplier=1.5),
-        sap=SAPConfig(num_q_centroids=min(args.num_q_centroids, 8),
-                      num_k_centroids=min(args.num_k_centroids, 12),
+        sap=SAPConfig(num_q_centroids=args.num_q_centroids,
+                      num_k_centroids=args.num_k_centroids,
                       top_p_kmeans=args.top_p_kmeans,
                       min_kc_ratio=args.min_kc_ratio,
-                      kmeans_iter_init=min(args.kmeans_iter_init, 8),
+                      kmeans_iter_init=args.kmeans_iter_init,
                       kmeans_iter_step=args.kmeans_iter_step),
         seed=args.seed,
     )
-    np.savez(args.output_file, latents=np.asarray(lat))
-    logger.info(f"saved latents {lat.shape} -> {args.output_file}")
+    if vae_decode is not None:
+        from sparse_videogen_tpu.pipelines.wan import export_video
+
+        video = vae_decode(lat)
+        out = args.output_file
+        if out.endswith(".npz"):
+            out = out[: -len(".npz")] + ".y4m"
+        export_video(video, out, fps=24)
+        logger.info(f"saved video {video.shape} -> {out}")
+    else:
+        np.savez(args.output_file, latents=np.asarray(lat))
+        logger.info(f"saved latents {lat.shape} -> {args.output_file}")
 
 
 if __name__ == "__main__":

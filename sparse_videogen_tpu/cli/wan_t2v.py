@@ -70,10 +70,24 @@ def main(argv=None):
     seed_everything(args.seed)
     if args.flow_shift is None:
         args.flow_shift = 5.0 if args.height >= 720 else 3.0
+    if not args.neg_prompt:
+        # reference default (wan_t2v_inference.py:108-110)
+        args.neg_prompt = (
+            "Bright tones, overexposed, static, blurred details, subtitles, "
+            "style, works, paintings, images, static, overall gray, worst "
+            "quality, low quality, JPEG compression residue, ugly, incomplete, "
+            "extra fingers, poorly drawn hands, poorly drawn faces, deformed, "
+            "disfigured, misshapen limbs, fused fingers, still picture, messy "
+            "background, three legs, many people in the background, walking "
+            "backwards"
+        )
 
+    vae_decode = None
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: running smoke generation with random weights")
-        cfg = WM.WanConfig(dim=128, ffn_dim=256, num_heads=8, num_layers=4,
+        # head_dim 64: the kernel's packed-KV DMA needs 2*head_dim % 128 == 0
+        # on real TPUs (ops/attention.py)
+        cfg = WM.WanConfig(dim=256, ffn_dim=512, num_heads=4, num_layers=4,
                            freq_dim=64, text_dim=64, text_len=16)
         params = WM.init_wan_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
         rng = np.random.default_rng(args.seed)
@@ -83,17 +97,35 @@ def main(argv=None):
         args.num_frames = min(args.num_frames, 9)
         args.num_inference_steps = min(args.num_inference_steps, 4)
     else:
-        from sparse_videogen_tpu.io.checkpoint import convert_wan_dit, load_safetensors_dir
-
-        cfg = WM.WAN_1_3B if args.model_size == "1.3B" else WM.WAN_14B
-        sd = load_safetensors_dir(os.path.join(args.model_dir, "transformer"))
-        params = convert_wan_dit(sd, cfg)
-        # text encoder: UMT5 checkpoint + tokenizer are wired via io/encoders
-        # when present in model_dir; otherwise precomputed embeddings required.
-        raise SystemExit(
-            "full checkpoint flow requires text embeddings; use the library API "
-            "(WanPipeline with text_encoder=...) — see README"
+        from sparse_videogen_tpu.io.checkpoint import (
+            convert_wan_dit,
+            load_safetensors_dir,
+            wan_config_from_json,
         )
+        from sparse_videogen_tpu.io.encoders import UMT5Encoder
+
+        tdir = os.path.join(args.model_dir, "transformer")
+        cfg = wan_config_from_json(tdir) or (
+            WM.WAN_1_3B if args.model_size == "1.3B" else WM.WAN_14B
+        )
+        sd = load_safetensors_dir(tdir)
+        params = convert_wan_dit(sd, cfg)
+        logger.info("encoding prompts with UMT5 (reference flow: t5.py:500-506)")
+        t5 = UMT5Encoder.from_dir(args.model_dir, text_len=cfg.text_len)
+        ctx = t5([args.prompt]).astype(jnp.bfloat16)
+        ctx_null = t5([args.neg_prompt]).astype(jnp.bfloat16)
+        del t5  # free ~11 GB of UMT5 weights before the DiT runs
+
+        vae_dir = os.path.join(args.model_dir, "vae")
+        if os.path.isdir(vae_dir):
+            from sparse_videogen_tpu.io.checkpoint import convert_wan_vae, dataclass_from_json
+            from sparse_videogen_tpu.models.wan import vae as WV
+
+            vae_cfg = dataclass_from_json(vae_dir, WV.WanVAEConfig) or WV.WanVAEConfig()
+            vae_params = convert_wan_vae(load_safetensors_dir(vae_dir), vae_cfg)
+            vae_decode = jax.jit(lambda z: WV.vae_decode(vae_params, vae_cfg, z))
+        else:
+            logger.warning(f"no {vae_dir}: saving latents instead of video")
 
     pipe = WanPipeline(cfg, params)
     lat = pipe.generate_latents(
@@ -115,8 +147,18 @@ def main(argv=None):
                       zero_step_kmeans_init=args.zero_step_kmeans_init),
         seed=args.seed,
     )
-    np.savez(args.output_file, latents=np.asarray(lat))
-    logger.info(f"saved latents {lat.shape} -> {args.output_file}")
+    if vae_decode is not None:
+        from sparse_videogen_tpu.pipelines.wan import export_video
+
+        video = vae_decode(lat)
+        out = args.output_file
+        if out.endswith(".npz"):
+            out = out[: -len(".npz")] + ".y4m"
+        export_video(video, out, fps=16)
+        logger.info(f"saved video {video.shape} -> {out}")
+    else:
+        np.savez(args.output_file, latents=np.asarray(lat))
+        logger.info(f"saved latents {lat.shape} -> {args.output_file}")
 
 
 if __name__ == "__main__":

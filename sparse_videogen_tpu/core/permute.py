@@ -54,20 +54,25 @@ def _gather_small_f32(table_f32, idx, n: int):
     return jnp.einsum("bmn,bn->bm", onehot, table_f32, preferred_element_type=jnp.float32)
 
 
-def gather_small_i32(table, idx, n: int):
+def gather_small_i32(table, idx, n: int, *, chunk: int = 8192):
     """Per-row element gather from a small table via one-hot matmul.
 
     table: (B, n) int32 with |values| < 2^24 (exact in f32); idx: (B, M).
-    XLA element gathers run far below bandwidth on TPU; the one-hot matmul
-    hits the MXU at near memory bandwidth instead. Above a materialization
-    threshold (the one-hot is B*M*n f32 in HBM) fall back to the XLA gather —
-    slower but O(M) memory. TODO(round 2): Pallas kernel building the one-hot
-    per block in VMEM: bandwidth-fast at every size.
+    XLA element gathers run far below bandwidth on TPU (~5 ns/element); the
+    one-hot matmul hits the MXU instead. Large M is chunked with lax.map so
+    only a (B, chunk, n) one-hot is ever materialized.
     """
     B, M = idx.shape
-    if B * M * n * 4 > 1 << 29:  # 512 MB
-        return jnp.take_along_axis(table, idx, axis=-1)
-    return _gather_small_f32(table.astype(jnp.float32), idx, n).astype(jnp.int32)
+    tf = table.astype(jnp.float32)
+    if B * M * n * 4 <= 1 << 27:  # 128 MB: single shot
+        return _gather_small_f32(tf, idx, n).astype(jnp.int32)
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    ip = jnp.pad(idx, ((0, 0), (0, pad))) if pad else idx
+    ip = ip.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(lambda ic: _gather_small_f32(tf, ic, n), ip)
+    out = out.transpose(1, 0, 2).reshape(B, n_chunks * chunk)
+    return out[:, :M].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_clusters", "block", "s_pad"))
@@ -119,14 +124,11 @@ def padded_permutation(labels, sizes, *, n_clusters: int, block: int, s_pad: int
     src = jnp.take_along_axis(perm, jnp.clip(rank, 0, N - 1), axis=-1)
 
     # token -> padded position: dest of sorted-rank g is
-    # pad_off[lab_sorted[g]] + (g - start[lab_sorted[g]]); sorting it by perm
-    # (payload trick) yields pos without an inverse-permutation gather.
+    # g + (pad_off - start)[lab_sorted[g]] (cumulative padding inserted before
+    # the token's cluster); sorting it by perm (payload trick) yields pos
+    # without an inverse-permutation gather.
     g = jnp.arange(N, dtype=jnp.int32)[None, :]
-    dest_sorted = (
-        gather_small_i32(pad_off, lab_sorted, C)
-        + g
-        - gather_small_i32(start, lab_sorted, C)
-    ).astype(jnp.int32)
+    dest_sorted = g + gather_small_i32(pad_off - start, lab_sorted, C)
     _, pos = jax.lax.sort_key_val(perm, dest_sorted, dimension=-1)
 
     return dict(

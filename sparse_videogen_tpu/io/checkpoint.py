@@ -68,6 +68,60 @@ def _stack(dicts):
 # ---------------------------------------------------------------------------
 
 
+def dataclass_from_json(path: str, cls):
+    """Build `cls` from config.json in dir `path` (None if absent).
+
+    Unknown keys are ignored; list values become tuples (patch_size etc.).
+    """
+    import dataclasses
+
+    cj = os.path.join(path, "config.json")
+    if not os.path.isfile(cj):
+        return None
+    with open(cj) as f:
+        c = json.load(f)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {k: (tuple(v) if isinstance(v, list) else v) for k, v in c.items() if k in fields}
+    return cls(**kw)
+
+
+def wan_config_from_json(path: str):
+    """Build a WanConfig from a checkpoint dir's config.json.
+
+    Understands both the wan_orig flat naming (dim/ffn_dim/num_heads, see
+    wan_orig/configs) and the diffusers WanTransformer3DModel naming
+    (attention_head_dim/num_attention_heads/...). Returns None if absent.
+    """
+    from sparse_videogen_tpu.models.wan.model import WanConfig
+
+    cj = os.path.join(path, "config.json")
+    if not os.path.isfile(cj):
+        return None
+    with open(cj) as f:
+        c = json.load(f)
+    if "num_attention_heads" in c:  # diffusers naming
+        heads = c["num_attention_heads"]
+        dim = heads * c["attention_head_dim"]
+        return WanConfig(
+            model_type="i2v" if c.get("image_dim") else "t2v",
+            patch_size=tuple(c.get("patch_size", (1, 2, 2))),
+            text_len=c.get("text_len", 512),
+            in_dim=c.get("in_channels", 16),
+            dim=dim,
+            ffn_dim=c.get("ffn_dim", dim * 4),
+            freq_dim=c.get("freq_dim", 256),
+            text_dim=c.get("text_dim", 4096),
+            out_dim=c.get("out_channels", 16),
+            num_heads=heads,
+            num_layers=c.get("num_layers", 30),
+            qk_norm=bool(c.get("qk_norm", True)),
+            cross_attn_norm=bool(c.get("cross_attn_norm", True)),
+            eps=c.get("eps", 1e-6),
+            image_dim=c.get("image_dim") or 1280,
+        )
+    return dataclass_from_json(path, WanConfig)
+
+
 def convert_wan_dit(sd: dict, cfg, dtype=jnp.bfloat16):
     """diffusers WanTransformer3DModel state dict -> models/wan/model.py pytree."""
     f32 = jnp.float32
@@ -336,3 +390,231 @@ def convert_umt5(sd: dict, cfg, dtype=jnp.bfloat16):
         "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
         "norm": jnp.asarray(sd["norm.weight"], f32),
     }
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo VAE (884-16c-hy)
+# ---------------------------------------------------------------------------
+
+
+def convert_hyvideo_vae(sd: dict, cfg, dtype=jnp.float32):
+    """AutoencoderKLCausal3D state dict -> models/hyvideo/vae.py pytree.
+
+    Reference names (hyvideo_orig/vae/vae.py modules; CausalConv3d wraps a
+    plain Conv3d as `.conv`; diffusers Attention names to_q/to_k/to_v/
+    to_out.0/group_norm)."""
+
+    def cconv(key):
+        return _conv3d(sd, f"{key}.conv", dtype)
+
+    def norm(key):
+        return {"g": jnp.asarray(sd[f"{key}.weight"], dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def res(prefix):
+        p = {"norm1": norm(f"{prefix}.norm1"), "conv1": cconv(f"{prefix}.conv1"),
+             "norm2": norm(f"{prefix}.norm2"), "conv2": cconv(f"{prefix}.conv2")}
+        if f"{prefix}.conv_shortcut.conv.weight" in sd:
+            p["shortcut"] = cconv(f"{prefix}.conv_shortcut")
+        return p
+
+    def lin(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"].T, dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def mid(prefix):
+        return {
+            "res0": res(f"{prefix}.resnets.0"),
+            "attn": {
+                "norm": norm(f"{prefix}.attentions.0.group_norm"),
+                "q": lin(f"{prefix}.attentions.0.to_q"),
+                "k": lin(f"{prefix}.attentions.0.to_k"),
+                "v": lin(f"{prefix}.attentions.0.to_v"),
+                "o": lin(f"{prefix}.attentions.0.to_out.0"),
+            },
+            "res1": res(f"{prefix}.resnets.1"),
+        }
+
+    down = []
+    for i in range(cfg.num_blocks):
+        blk = {"res": [res(f"encoder.down_blocks.{i}.resnets.{j}")
+                       for j in range(cfg.layers_per_block)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.conv.weight" in sd:
+            blk["ds"] = cconv(f"encoder.down_blocks.{i}.downsamplers.0.conv")
+        down.append(blk)
+    up = []
+    for i in range(cfg.num_blocks):
+        blk = {"res": [res(f"decoder.up_blocks.{i}.resnets.{j}")
+                       for j in range(cfg.layers_per_block + 1)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.conv.weight" in sd:
+            blk["us"] = cconv(f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        up.append(blk)
+
+    def plain1x1(key):
+        w = sd[f"{key}.weight"].transpose(2, 3, 4, 1, 0)
+        return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    return {
+        "encoder": {
+            "conv_in": cconv("encoder.conv_in"),
+            "down": down,
+            "mid": mid("encoder.mid_block"),
+            "norm_out": norm("encoder.conv_norm_out"),
+            "conv_out": cconv("encoder.conv_out"),
+        },
+        "decoder": {
+            "conv_in": cconv("decoder.conv_in"),
+            "mid": mid("decoder.mid_block"),
+            "up": up,
+            "norm_out": norm("decoder.conv_norm_out"),
+            "conv_out": cconv("decoder.conv_out"),
+        },
+        "quant_conv": plain1x1("quant_conv"),
+        "post_quant_conv": plain1x1("post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo text encoders: LLaMA-3 (llm) + CLIP-L
+# ---------------------------------------------------------------------------
+
+
+def convert_llama(sd: dict, cfg, *, skip_layers: int = 2, dtype=jnp.bfloat16):
+    """HF LlamaModel / LlamaForCausalLM state dict -> models/common/llama.py.
+
+    Only layers 0..num_layers-1-skip_layers are materialized: hyvideo uses
+    hidden_states[-(skip+1)] (text_encoder/__init__.py:277-283), so the last
+    `skip_layers` layers and the final norm are never needed.
+    """
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    f32 = jnp.float32
+
+    def block(i):
+        b = f"{pre}layers.{i}"
+        return {
+            "ln1": jnp.asarray(sd[f"{b}.input_layernorm.weight"], f32),
+            "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+            "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+            "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+            "o": _lin(sd, f"{b}.self_attn.o_proj", dtype),
+            "ln2": jnp.asarray(sd[f"{b}.post_attention_layernorm.weight"], f32),
+            "gate": _lin(sd, f"{b}.mlp.gate_proj", dtype),
+            "up": _lin(sd, f"{b}.mlp.up_proj", dtype),
+            "down": _lin(sd, f"{b}.mlp.down_proj", dtype),
+        }
+
+    n_active = cfg.num_layers - skip_layers
+    return {
+        "embed": jnp.asarray(sd[f"{pre}embed_tokens.weight"], dtype),
+        "blocks": _stack([block(i) for i in range(n_active)]),
+    }
+
+
+def convert_clip_text(sd: dict, cfg, dtype=jnp.float32):
+    """HF CLIPTextModel state dict -> models/common/clip.py pytree."""
+    pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], jnp.float32),
+                "b": jnp.asarray(sd[f"{key}.bias"], jnp.float32)}
+
+    def block(i):
+        b = f"{pre}encoder.layers.{i}"
+        return {
+            "ln1": ln(f"{b}.layer_norm1"),
+            "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+            "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+            "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+            "o": _lin(sd, f"{b}.self_attn.out_proj", dtype),
+            "ln2": ln(f"{b}.layer_norm2"),
+            "fc1": _lin(sd, f"{b}.mlp.fc1", dtype),
+            "fc2": _lin(sd, f"{b}.mlp.fc2", dtype),
+        }
+
+    return {
+        "token_embedding": jnp.asarray(sd[f"{pre}embeddings.token_embedding.weight"], dtype),
+        "position_embedding": jnp.asarray(sd[f"{pre}embeddings.position_embedding.weight"], dtype),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "final_ln": ln(f"{pre}final_layer_norm"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo DiT
+# ---------------------------------------------------------------------------
+
+
+def convert_hyvideo_dit(sd: dict, cfg, dtype=jnp.bfloat16):
+    """HYVideoDiffusionTransformer state dict -> models/hyvideo/model.py.
+
+    Reference names: hyvideo_orig/modules/models.py (double/single blocks),
+    token_refiner.py (txt_in), embed_layers.py / mlp_layers.py /
+    modulate_layers.py (sub-modules). QKV is fused (q|k|v) in both.
+    """
+    f32 = jnp.float32
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], f32),
+                "b": jnp.asarray(sd[f"{key}.bias"], f32)}
+
+    def mlp2_t(key):  # TimestepEmbedder .mlp Sequential(0, act, 2)
+        return {"fc1": _lin(sd, f"{key}.mlp.0", f32), "fc2": _lin(sd, f"{key}.mlp.2", f32)}
+
+    def dblock(i):
+        b = f"double_blocks.{i}"
+        side = lambda s: {
+            f"{s}_mod": _lin(sd, f"{b}.{s}_mod.linear", dtype),
+            f"{s}_qkv": _lin(sd, f"{b}.{s}_attn_qkv", dtype),
+            f"{s}_q_norm": jnp.asarray(sd[f"{b}.{s}_attn_q_norm.weight"], f32),
+            f"{s}_k_norm": jnp.asarray(sd[f"{b}.{s}_attn_k_norm.weight"], f32),
+            f"{s}_proj": _lin(sd, f"{b}.{s}_attn_proj", dtype),
+            f"{s}_mlp": {"fc1": _lin(sd, f"{b}.{s}_mlp.fc1", dtype),
+                         "fc2": _lin(sd, f"{b}.{s}_mlp.fc2", dtype)},
+        }
+        return {**side("img"), **side("txt")}
+
+    def sblock(i):
+        b = f"single_blocks.{i}"
+        return {
+            "modulation": _lin(sd, f"{b}.modulation.linear", dtype),
+            "linear1": _lin(sd, f"{b}.linear1", dtype),
+            "linear2": _lin(sd, f"{b}.linear2", dtype),
+            "q_norm": jnp.asarray(sd[f"{b}.q_norm.weight"], f32),
+            "k_norm": jnp.asarray(sd[f"{b}.k_norm.weight"], f32),
+        }
+
+    def refiner(i):
+        b = f"txt_in.individual_token_refiner.blocks.{i}"
+        return {
+            "norm1": ln(f"{b}.norm1"),
+            "qkv": _lin(sd, f"{b}.self_attn_qkv", dtype),
+            "proj": _lin(sd, f"{b}.self_attn_proj", dtype),
+            "norm2": ln(f"{b}.norm2"),
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.fc1", dtype),
+                    "fc2": _lin(sd, f"{b}.mlp.fc2", dtype)},
+            "adaln": _lin(sd, f"{b}.adaLN_modulation.1", dtype),
+        }
+
+    pe_w = sd["img_in.proj.weight"]  # (h, C, pt, ph, pw)
+    h = pe_w.shape[0]
+    params = {
+        "img_in": {"w": jnp.asarray(pe_w.reshape(h, -1).T, dtype),
+                   "b": jnp.asarray(sd["img_in.proj.bias"], dtype)},
+        "time_in": mlp2_t("time_in"),
+        "vector_in": {"fc1": _lin(sd, "vector_in.in_layer", dtype),
+                      "fc2": _lin(sd, "vector_in.out_layer", dtype)},
+        "txt_in": {
+            "input_embedder": _lin(sd, "txt_in.input_embedder", dtype),
+            "t_embedder": mlp2_t("txt_in.t_embedder"),
+            "c_embedder": {"fc1": _lin(sd, "txt_in.c_embedder.linear_1", dtype),
+                           "fc2": _lin(sd, "txt_in.c_embedder.linear_2", dtype)},
+            "blocks": _stack([refiner(i) for i in range(cfg.refiner_depth)]),
+        },
+        "double_blocks": _stack([dblock(i) for i in range(cfg.mm_double_blocks_depth)]),
+        "single_blocks": _stack([sblock(i) for i in range(cfg.mm_single_blocks_depth)]),
+        "final_adaln": _lin(sd, "final_layer.adaLN_modulation.1", dtype),
+        "final_linear": _lin(sd, "final_layer.linear", dtype),
+    }
+    if "guidance_in.mlp.0.weight" in sd:
+        params["guidance_in"] = mlp2_t("guidance_in")
+    return params

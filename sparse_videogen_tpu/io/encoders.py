@@ -1,0 +1,154 @@
+"""Prompt -> conditioning encoders loaded from local checkpoint dirs.
+
+Mirrors the reference's T5EncoderModel wrapper
+(/root/reference/svg/models/wan_orig/modules/t5.py:469-506): tokenize with
+whitespace cleaning, run the UMT5-XXL encoder, zero everything past each
+prompt's real length, and hand the DiT a fixed (B, text_len, dim) tensor
+(the reference trims to seq_len then zero-pads back when batching,
+wan_orig/text2video.py).
+
+Checkpoint layout expected under `model_dir` (local-only environment; the
+reference's .pth must be pre-converted to safetensors):
+  umt5/ or text_encoder/   safetensors with reference names (convert_umt5)
+  tokenizer files          tokenizer.json or spiece.model (searched in
+                           model_dir and one subdir level)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_videogen_tpu.io.tokenizer import T5TokenizerLite
+from sparse_videogen_tpu.models.common.t5 import UMT5_XXL, T5Config, t5_encode
+
+
+def _find_subdir(model_dir: str, names) -> str | None:
+    for n in names:
+        d = os.path.join(model_dir, n)
+        if os.path.isdir(d):
+            return d
+    return None
+
+
+class UMT5Encoder:
+    """texts -> (B, text_len, dim) encoder states (zero-padded)."""
+
+    def __init__(self, params, cfg: T5Config, tokenizer: T5TokenizerLite, text_len: int = 512):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.text_len = text_len
+        self._encode = jax.jit(lambda p, ids, mask: t5_encode(p, cfg, ids, mask))
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, text_len: int = 512, dtype=jnp.bfloat16, cfg: T5Config | None = None):
+        from sparse_videogen_tpu.io.checkpoint import (
+            convert_umt5,
+            dataclass_from_json,
+            load_safetensors_dir,
+        )
+
+        enc_dir = _find_subdir(model_dir, ["umt5", "text_encoder", "umt5-xxl"]) or model_dir
+        if cfg is None:
+            cfg = dataclass_from_json(enc_dir, T5Config) or UMT5_XXL
+        sd = load_safetensors_dir(enc_dir)
+        params = convert_umt5(sd, cfg, dtype=dtype)
+        tok_dir = _find_subdir(model_dir, ["tokenizer", "google/umt5-xxl", "google"]) or model_dir
+        tokenizer = T5TokenizerLite.from_dir(tok_dir)
+        return cls(params, cfg, tokenizer, text_len=text_len)
+
+    def __call__(self, texts) -> jnp.ndarray:
+        ids, mask = self.tokenizer(texts, seq_len=self.text_len)
+        ctx = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        # zero out positions past each prompt's real length (reference trims
+        # then zero-pads when stacking the batch)
+        return ctx * jnp.asarray(mask, ctx.dtype)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo: LLaMA (template + crop_start) + CLIP-L pooled
+# ---------------------------------------------------------------------------
+
+# reference hyvideo_orig/constants.py:38-47 (dit-llm-encode-video)
+PROMPT_TEMPLATE_ENCODE_VIDEO = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video by detailing the following aspects: "
+    "1. The main content and theme of the video."
+    "2. The color, shape, size, texture, quantity, text, and spatial relationships of the objects."
+    "3. Actions, events, behaviors temporal relationships, physical movement changes of the objects."
+    "4. background environment, light, style and atmosphere."
+    "5. camera angles, movements, and transitions used in the video:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+)
+CROP_START_VIDEO = 95
+HYVIDEO_NEGATIVE_PROMPT = (
+    "Aerial view, aerial view, overexposed, low quality, deformation, a poor "
+    "composition, bad hands, bad teeth, bad eyes, bad limbs, distortion"
+)
+
+
+class HyVideoTextEncoders:
+    """prompts -> (states (B, text_len, 4096), mask (B, text_len),
+    pooled (B, 768)).
+
+    Reference flow (hyvideo_orig/text_encoder/__init__.py):
+      1. format each prompt into the video template, tokenize to
+         crop_start + text_len tokens (LLaMA-3 tokenizer);
+      2. LLaMA forward, take hidden_states[-(skip+1)] (skip=2, no final
+         norm), crop the first crop_start instruction tokens;
+      3. CLIP-L on the raw prompt (77 tokens), pooled output.
+    """
+
+    def __init__(self, llama_params, llama_cfg, llama_tok, clip_params, clip_cfg,
+                 clip_tok, *, text_len=256, crop_start=CROP_START_VIDEO,
+                 template=PROMPT_TEMPLATE_ENCODE_VIDEO):
+        from sparse_videogen_tpu.models.common.clip import clip_text_encode
+        from sparse_videogen_tpu.models.common.llama import llama_encode
+
+        self.llama_params = llama_params
+        self.llama_tok = llama_tok
+        self.clip_params = clip_params
+        self.clip_tok = clip_tok
+        self.text_len = text_len
+        self.crop_start = crop_start
+        self.template = template
+        self._llama = jax.jit(lambda p, i, m: llama_encode(p, llama_cfg, i, m))
+        self._clip = jax.jit(lambda p, i, m: clip_text_encode(p, clip_cfg, i, m)[1])
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, dtype=jnp.bfloat16, skip_layers: int = 2, **kw):
+        from sparse_videogen_tpu.io.checkpoint import (
+            convert_clip_text,
+            convert_llama,
+            dataclass_from_json,
+            load_safetensors_dir,
+        )
+        from sparse_videogen_tpu.io.tokenizer import HFTokenizerLite
+        from sparse_videogen_tpu.models.common.clip import CLIP_L_TEXT, CLIPTextConfig
+        from sparse_videogen_tpu.models.common.llama import LLAMA3_8B, LlamaConfig
+
+        ldir = _find_subdir(model_dir, ["text_encoder", "llm", "llava-llama-3-8b"]) or model_dir
+        lcfg = dataclass_from_json(ldir, LlamaConfig) or LLAMA3_8B
+        lparams = convert_llama(load_safetensors_dir(ldir), lcfg, skip_layers=skip_layers, dtype=dtype)
+        ltok = HFTokenizerLite.from_dir(ldir)
+
+        cdir = _find_subdir(model_dir, ["text_encoder_2", "clip", "clipL"]) or model_dir
+        ccfg = dataclass_from_json(cdir, CLIPTextConfig) or CLIP_L_TEXT
+        cparams = convert_clip_text(load_safetensors_dir(cdir), ccfg, dtype=dtype)
+        ctok = HFTokenizerLite.from_dir(cdir)
+        return cls(lparams, lcfg, ltok, cparams, ccfg, ctok, **kw)
+
+    def __call__(self, prompts):
+        texts = [self.template.format(p) for p in prompts]
+        ids, mask = self.llama_tok(texts, seq_len=self.crop_start + self.text_len)
+        hidden = self._llama(self.llama_params, jnp.asarray(ids), jnp.asarray(mask))
+        states = hidden[:, self.crop_start :]
+        out_mask = jnp.asarray(mask[:, self.crop_start :])
+        states = states * out_mask[..., None].astype(states.dtype)
+
+        cids, cmask = self.clip_tok(list(prompts), seq_len=77)
+        pooled = self._clip(self.clip_params, jnp.asarray(cids), jnp.asarray(cmask))
+        return states, out_mask, pooled

@@ -222,12 +222,19 @@ def run_meta_jnp(sel, starts, sizes, *, block_kv: int, cap: int):
     org = jnp.where(run_start, starts[:, None, :], -1)
     run_origin = jax.lax.associative_scan(jnp.maximum, org, axis=-1)
 
-    # compact the run-end clusters to the front (stable: ascending order kept)
+    # compact the run-end clusters to the front with ONE multi-payload sort
+    # carrying (a, b) through it — no take_along_axis gathers, no bool-key
+    # stable argsort (element gathers and bool sorts are slow on TPU; this
+    # was measured 173 ms -> the sort form runs in ~ms at (40, 300, 1000)).
     cap_eff = min(cap, C)
-    order = jnp.argsort(~run_end, axis=-1, stable=True).astype(jnp.int32)[..., :cap_eff]
-    is_run = jnp.take_along_axis(run_end, order, axis=-1)
-    a = jnp.where(is_run, jnp.take_along_axis(run_origin, order, axis=-1), 0)
-    b = jnp.where(is_run, jnp.take_along_axis(jnp.broadcast_to(ends[:, None, :], sel.shape), order, axis=-1), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, sel.shape, sel.ndim - 1)
+    key = jnp.where(run_end, iota_c, C + iota_c)  # run-ends first, in order
+    ends_b = jnp.broadcast_to(ends[:, None, :], sel.shape)
+    key_s, a, b = jax.lax.sort((key, run_origin, ends_b), dimension=-1, num_keys=1)
+    key_s = key_s[..., :cap_eff]
+    is_run = key_s < C
+    a = jnp.where(is_run, a[..., :cap_eff], 0)
+    b = jnp.where(is_run, b[..., :cap_eff], 0)
     m = jnp.where(is_run, _run_chunks(a, b, block_kv), 0)
     n = jnp.sum(m, axis=-1, dtype=jnp.int32)
 

@@ -74,6 +74,9 @@ class HyVideoPipeline:
     ):
         cfg = self.model_cfg
         layout = hyvideo_layout(cfg, height, width, num_frames)
+        # prompt_length feeds the text-last masks (SVG1 aux) and the SAP
+        # prompt/padding extra clusters (svg2._extend_text_clusters)
+        layout = dataclasses.replace(layout, prompt_length=prompt_length)
         sch = FlowMatchEuler(num_inference_steps, shift=flow_shift)
         n_layers = cfg.mm_double_blocks_depth + cfg.mm_single_blocks_depth
         warmup = WarmupSchedule.from_fractions(
@@ -86,9 +89,6 @@ class HyVideoPipeline:
         elif mode == SparseMode.SVG:
             runtime = SVG1Runtime(plan, prompt_length=prompt_length)
         else:
-            # NOTE round 2: SAP prompt/padding block post-processing
-            # (hyvideo/attention.py:657-702) — until then SAP treats the text
-            # tail like video tokens.
             runtime = SAPRuntime(plan, sap, warmup)
 
         F_lat = 1 + (num_frames - 1) // VAE_TEMPORAL
@@ -120,4 +120,20 @@ class HyVideoPipeline:
             t = float(sch.timesteps[i])
             v, astates = fwd(self.params, lat, t, astates, consts, jax.random.fold_in(key, i))
             lat, sstate = sch.step(i, lat, v, sstate)
+        return lat
+
+    def generate(self, prompt: str, **kw):
+        """prompt -> latents (or video if vae_decode attached).
+
+        text_encoder must return (states (1, text_len, 4096), mask
+        (1, text_len), pooled (1, 768)) — io/encoders.HyVideoTextEncoders.
+        """
+        assert self.text_encoder is not None, "attach io/encoders.HyVideoTextEncoders"
+        states, mask, pooled = self.text_encoder([prompt])
+        prompt_length = int(jnp.sum(mask[0]))
+        lat = self.generate_latents(
+            states, mask, pooled, prompt_length=prompt_length, **kw
+        )
+        if self.vae_decode is not None:
+            return self.vae_decode(lat)
         return lat

@@ -32,7 +32,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from sparse_videogen_tpu.config import SAPConfig, VideoLayout, WarmupSchedule
+from sparse_videogen_tpu.config import SAPConfig, TextPosition, VideoLayout, WarmupSchedule
 from sparse_videogen_tpu.core import permute as core_permute
 from sparse_videogen_tpu.core.dynamic_map import density_calculation, identify_dynamic_map
 from sparse_videogen_tpu.core.kmeans import batch_kmeans, init_centroids
@@ -109,6 +109,44 @@ def popularity_relabel(dyn_map, klab, ksz, kcent):
     return dyn2, klab2, ksz2, kcent2
 
 
+def _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout: VideoLayout):
+    """Append prompt + padding clusters for text-last layouts (HunyuanVideo).
+
+    Reference: dynamic_map_post_processing
+    (/root/reference/svg/models/hyvideo/attention.py:657-702):
+      - prompt queries attend all video clusters + the prompt cluster
+      - every video cluster (and the prompt cluster) attends the prompt keys
+      - padding queries attend padding keys only (avoids an all-masked row)
+    Here prompt/padding become two extra clusters (indices C, C+1) whose
+    tokens are the unpermuted text tail, so the whole runs-mode machinery
+    (sort, run metadata, kernel) applies unchanged.
+    """
+    BH = qlab.shape[0]
+    pl_ = layout.prompt_length
+    ul = layout.context_length - pl_
+    QC = qsz.shape[-1]
+    KC = ksz.shape[-1]
+
+    def ext_labels(lab, C):
+        text = jnp.concatenate(
+            [jnp.full((BH, pl_), C, jnp.int32), jnp.full((BH, ul), C + 1, jnp.int32)],
+            axis=-1,
+        )
+        return jnp.concatenate([lab, text], axis=-1)
+
+    def ext_sizes(sz):
+        e = jnp.array([[pl_, ul]], jnp.int32)
+        return jnp.concatenate([sz, jnp.broadcast_to(e, (BH, 2)).astype(sz.dtype)], axis=-1)
+
+    dyn2 = jnp.pad(dyn_f, ((0, 0), (0, 2), (0, 2)))
+    if pl_ > 0:
+        dyn2 = dyn2.at[:, QC, : KC + 1].set(True)  # prompt q -> video + prompt k
+        dyn2 = dyn2.at[:, :QC, KC].set(True)  # video q -> prompt k
+    if ul > 0:
+        dyn2 = dyn2.at[:, QC + 1, KC + 1].set(True)  # padding q -> padding k
+    return dyn2, ext_labels(qlab, QC), ext_sizes(qsz), ext_labels(klab, KC), ext_sizes(ksz)
+
+
 @partial(
     jax.jit,
     static_argnames=("layout", "cfg", "interpret", "with_density"),
@@ -134,13 +172,19 @@ def sap_sparse_attention(
     BH = B * H
     QC, KC = cfg.num_q_centroids, cfg.num_k_centroids
     bq, bkv = cfg.block_q, cfg.block_kv
+    # text-last layouts (HunyuanVideo): cluster ONLY the video tokens; the
+    # text tail becomes two fixed extra clusters (_extend_text_clusters)
+    text_last = layout.text_position == TextPosition.LAST and layout.context_length > 0
+    vl = layout.video_length if text_last else S
 
     qf = q.reshape(BH, S, D)
     kf = k.reshape(BH, S, D)
     vf = v.reshape(BH, S, D)
 
-    # 1. k-means (warm-startable)
-    (qlab, qcent, qsz), (klab, kcent, ksz), new_state = sap_cluster(qf, kf, state, cfg, rng)
+    # 1. k-means (warm-startable) over the video part
+    (qlab, qcent, qsz), (klab, kcent, ksz), new_state = sap_cluster(
+        qf[:, :vl], kf[:, :vl], state, cfg, rng
+    )
 
     # 2. dynamic map (cluster-pair top-p selection)
     dyn = identify_dynamic_map(
@@ -155,6 +199,10 @@ def sap_sparse_attention(
 
     # 3. popularity relabel (coalesces kv runs; output-invariant)
     dyn_f, klab, ksz, _ = popularity_relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)
+
+    if text_last:
+        dyn_f, qlab, qsz, klab, ksz = _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout)
+        QC, KC = QC + 2, KC + 2
 
     # 4. permutations. Queries: block-aligned padded permutation (each q block
     #    maps to exactly one q cluster). Keys/values: UNPADDED cluster-
@@ -175,7 +223,7 @@ def sap_sparse_attention(
     # 5. run-list metadata per (head, q-cluster) row, expanded to q blocks
     zero = jnp.zeros_like(ksz[..., :1])
     kstarts = jnp.cumsum(jnp.concatenate([zero, ksz[..., :-1]], axis=-1), axis=-1)
-    cap = cfg.max_runs or KC
+    cap = min((cfg.max_runs or KC) + (2 if text_last else 0), KC)
     meta_c = MD.run_meta_jnp(dyn_f, kstarts, ksz, block_kv=bkv, cap=cap)
     qb_c = qmaps["block_to_cluster"]  # (BH, nQ)
     meta = jnp.take_along_axis(meta_c, qb_c[..., None], axis=1)  # (BH, nQ, L)

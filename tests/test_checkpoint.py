@@ -200,3 +200,124 @@ def test_convert_umt5_structure():
     assert tree_shapes(params) == tree_shapes(ref)
     out = T5.t5_encode(params, cfg, jnp.zeros((1, 6), jnp.int32), jnp.ones((1, 6), jnp.int32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_hyvideo_dit_structure():
+    from sparse_videogen_tpu.models.hyvideo import model as HM
+
+    cfg = HM.HyVideoConfig(hidden_size=32, heads_num=2, mm_double_blocks_depth=2,
+                           mm_single_blocks_depth=2, rope_dim_list=(4, 6, 6),
+                           text_states_dim=24, text_states_dim_2=12, text_len=8)
+    ref = HM.init_hyvideo_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    sd = {}
+    h, mh = 32, int(32 * cfg.mlp_width_ratio)
+    hd = cfg.head_dim
+
+    def lin(key, di, do, bias=True):
+        sd[f"{key}.weight"] = rng.standard_normal((do, di)).astype(np.float32)
+        if bias:
+            sd[f"{key}.bias"] = rng.standard_normal((do,)).astype(np.float32)
+
+    def ln(key, d):
+        sd[f"{key}.weight"] = np.ones(d, np.float32)
+        sd[f"{key}.bias"] = np.zeros(d, np.float32)
+
+    pt, ph, pw = cfg.patch_size
+    sd["img_in.proj.weight"] = rng.standard_normal((h, cfg.in_channels, pt, ph, pw)).astype(np.float32)
+    sd["img_in.proj.bias"] = rng.standard_normal((h,)).astype(np.float32)
+    lin("time_in.mlp.0", 256, h); lin("time_in.mlp.2", h, h)
+    lin("vector_in.in_layer", cfg.text_states_dim_2, h); lin("vector_in.out_layer", h, h)
+    lin("guidance_in.mlp.0", 256, h); lin("guidance_in.mlp.2", h, h)
+    lin("txt_in.input_embedder", cfg.text_states_dim, h)
+    lin("txt_in.t_embedder.mlp.0", 256, h); lin("txt_in.t_embedder.mlp.2", h, h)
+    lin("txt_in.c_embedder.linear_1", cfg.text_states_dim, h); lin("txt_in.c_embedder.linear_2", h, h)
+    for i in range(cfg.refiner_depth):
+        b = f"txt_in.individual_token_refiner.blocks.{i}"
+        ln(f"{b}.norm1", h); lin(f"{b}.self_attn_qkv", h, 3 * h); lin(f"{b}.self_attn_proj", h, h)
+        ln(f"{b}.norm2", h); lin(f"{b}.mlp.fc1", h, 4 * h); lin(f"{b}.mlp.fc2", 4 * h, h)
+        lin(f"{b}.adaLN_modulation.1", h, 2 * h)
+    for i in range(cfg.mm_double_blocks_depth):
+        b = f"double_blocks.{i}"
+        for s in ("img", "txt"):
+            lin(f"{b}.{s}_mod.linear", h, 6 * h)
+            lin(f"{b}.{s}_attn_qkv", h, 3 * h)
+            sd[f"{b}.{s}_attn_q_norm.weight"] = np.ones(hd, np.float32)
+            sd[f"{b}.{s}_attn_k_norm.weight"] = np.ones(hd, np.float32)
+            lin(f"{b}.{s}_attn_proj", h, h)
+            lin(f"{b}.{s}_mlp.fc1", h, mh); lin(f"{b}.{s}_mlp.fc2", mh, h)
+    for i in range(cfg.mm_single_blocks_depth):
+        b = f"single_blocks.{i}"
+        lin(f"{b}.modulation.linear", h, 3 * h)
+        lin(f"{b}.linear1", h, 3 * h + mh); lin(f"{b}.linear2", h + mh, h)
+        sd[f"{b}.q_norm.weight"] = np.ones(hd, np.float32)
+        sd[f"{b}.k_norm.weight"] = np.ones(hd, np.float32)
+    lin("final_layer.adaLN_modulation.1", h, 2 * h)
+    lin("final_layer.linear", h, pt * ph * pw * cfg.out_channels)
+
+    params = CK.convert_hyvideo_dit(sd, cfg, dtype=jnp.float32)
+    assert tree_shapes(params) == tree_shapes(ref)
+
+
+def test_convert_hyvideo_vae_structure():
+    from sparse_videogen_tpu.models.hyvideo import vae as HV
+
+    cfg = HV.HyVideoVAEConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                              latent_channels=4, norm_num_groups=4)
+    ref = HV.init_hyvideo_vae_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    sd = {}
+
+    def c3(key, co, ci, k=3):
+        sd[f"{key}.weight"] = rng.standard_normal((co, ci, k, k, k)).astype(np.float32)
+        sd[f"{key}.bias"] = np.zeros(co, np.float32)
+
+    def ln(key, c):
+        sd[f"{key}.weight"] = np.ones(c, np.float32)
+        sd[f"{key}.bias"] = np.zeros(c, np.float32)
+
+    def lin(key, d):
+        sd[f"{key}.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+        sd[f"{key}.bias"] = np.zeros(d, np.float32)
+
+    def res(prefix, ci, co):
+        ln(f"{prefix}.norm1", ci); c3(f"{prefix}.conv1.conv", co, ci)
+        ln(f"{prefix}.norm2", co); c3(f"{prefix}.conv2.conv", co, co)
+        if ci != co:
+            c3(f"{prefix}.conv_shortcut.conv", co, ci, 1)
+
+    def mid(prefix, c):
+        res(f"{prefix}.resnets.0", c, c)
+        ln(f"{prefix}.attentions.0.group_norm", c)
+        for nm in ("to_q", "to_k", "to_v", "to_out.0"):
+            lin(f"{prefix}.attentions.0.{nm}", c)
+        res(f"{prefix}.resnets.1", c, c)
+
+    bo = cfg.block_out_channels
+    c3("encoder.conv_in.conv", bo[0], 3)
+    ch = bo[0]
+    for i in range(4):
+        res(f"encoder.down_blocks.{i}.resnets.0", ch, bo[i])
+        ch = bo[i]
+        if cfg.spatial_ds(i) or cfg.temporal_ds(i):
+            c3(f"encoder.down_blocks.{i}.downsamplers.0.conv.conv", bo[i], bo[i])
+    mid("encoder.mid_block", bo[-1])
+    ln("encoder.conv_norm_out", bo[-1]); c3("encoder.conv_out.conv", 2 * cfg.latent_channels, bo[-1])
+    rev = list(reversed(bo))
+    c3("decoder.conv_in.conv", rev[0], cfg.latent_channels)
+    mid("decoder.mid_block", rev[0])
+    ch = rev[0]
+    for i in range(4):
+        for j in range(cfg.layers_per_block + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}", ch if j == 0 else rev[i], rev[i])
+        ch = rev[i]
+        if cfg.spatial_ds(i) or cfg.temporal_ds(i):
+            c3(f"decoder.up_blocks.{i}.upsamplers.0.conv.conv", rev[i], rev[i])
+    ln("decoder.conv_norm_out", bo[0]); c3("decoder.conv_out.conv", 3, bo[0])
+    sd["quant_conv.weight"] = rng.standard_normal((8, 8, 1, 1, 1)).astype(np.float32)
+    sd["quant_conv.bias"] = np.zeros(8, np.float32)
+    sd["post_quant_conv.weight"] = rng.standard_normal((4, 4, 1, 1, 1)).astype(np.float32)
+    sd["post_quant_conv.bias"] = np.zeros(4, np.float32)
+
+    params = CK.convert_hyvideo_vae(sd, cfg)
+    assert tree_shapes(params) == tree_shapes(ref)

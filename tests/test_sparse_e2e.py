@@ -183,3 +183,58 @@ class TestSAP:
                 )
         order = np.argsort(-np.asarray(dyn.sum(1)), axis=-1, kind="stable")
         np.testing.assert_array_equal(np.asarray(ksz2)[0], np.asarray(ksz)[0][order[0]])
+
+
+class TestSAPTextLast:
+    """hyvideo layout: video tokens + [prompt | padding] text tail.
+
+    Oracle: reference dynamic_map_post_processing semantics
+    (hyvideo/attention.py:657-702) expressed as a token-level mask.
+    """
+
+    layout = VideoLayout(
+        num_frames=4, frame_size=64, context_length=48,
+        text_position="last", prompt_length=30,
+    )
+    cfg = SAPConfig(
+        num_q_centroids=5, num_k_centroids=9, top_p_kmeans=0.8,
+        kmeans_iter_init=8, kmeans_iter_step=2,
+    )
+
+    def test_matches_postprocessing_oracle(self):
+        rng = np.random.default_rng(5)
+        lay, cfg = self.layout, self.cfg
+        B, H, D = 1, 2, 32
+        S, VL, PL = lay.seq_len, lay.video_length, lay.prompt_length
+        q, k, v = make_qkv(rng, B, H, S, D)
+        state = SVG2.init_sap_state(B * H, D, cfg, dtype=jnp.float32)
+        key = jax.random.PRNGKey(11)
+
+        out, _ = SVG2.sap_sparse_attention(q, k, v, state, key, layout=lay, cfg=cfg)
+
+        # oracle clustering over the video part only (same rng path)
+        qf = q.reshape(B * H, S, D)
+        kf = k.reshape(B * H, S, D)
+        (qlab, qcent, qsz), (klab, kcent, ksz), _ = SVG2.sap_cluster(
+            qf[:, :VL], kf[:, :VL], state, cfg, key
+        )
+        dyn = identify_dynamic_map(
+            qcent.reshape(B, H, -1, D), kcent.reshape(B, H, -1, D),
+            qsz.reshape(B, H, -1), ksz.reshape(B, H, -1),
+            cfg.top_p_kmeans, cfg.min_kc_ratio,
+        )
+        dyn_n = np.asarray(dyn).reshape(B * H, cfg.num_q_centroids, cfg.num_k_centroids)
+        qlab_n, klab_n = np.asarray(qlab), np.asarray(klab)
+        mask = np.zeros((B * H, S, S), bool)
+        for bh in range(B * H):
+            video = dyn_n[bh][qlab_n[bh]][:, klab_n[bh]]  # (VL, VL)
+            mask[bh, :VL, :VL] = video
+            mask[bh, :VL, VL:VL + PL] = True          # video q -> prompt k
+            mask[bh, VL:VL + PL, :VL + PL] = True     # prompt q -> video+prompt k
+            mask[bh, VL + PL:, VL + PL:] = True       # padding q -> padding k
+        from sparse_videogen_tpu.core.attention_ref import masked_attention
+
+        ref = masked_attention(
+            qf, kf, v.reshape(B * H, S, D), jnp.asarray(mask)
+        ).reshape(B, H, S, D)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-5)
