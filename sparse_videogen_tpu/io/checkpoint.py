@@ -618,3 +618,106 @@ def convert_hyvideo_dit(sd: dict, cfg, dtype=jnp.bfloat16):
     if "guidance_in.mlp.0.weight" in sd:
         params["guidance_in"] = mlp2_t("guidance_in")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Cosmos DiT
+# ---------------------------------------------------------------------------
+
+
+def convert_cosmos_dit(sd: dict, cfg, dtype=jnp.bfloat16):
+    """diffusers CosmosTransformer3DModel state dict -> models/cosmos/model.py.
+
+    Names per diffusers transformer_cosmos.py (the reference's live model,
+    svg/models/cosmos/custom_models.py subclasses it)."""
+    f32 = jnp.float32
+
+    def norm(key):
+        return {"fc1": _lin(sd, f"{key}.linear_1", f32), "fc2": _lin(sd, f"{key}.linear_2", f32)}
+
+    def attn(key):
+        return {
+            "q": _lin(sd, f"{key}.to_q", dtype),
+            "k": _lin(sd, f"{key}.to_k", dtype),
+            "v": _lin(sd, f"{key}.to_v", dtype),
+            "o": _lin(sd, f"{key}.to_out.0", dtype),
+            "norm_q": jnp.asarray(sd[f"{key}.norm_q.weight"], f32),
+            "norm_k": jnp.asarray(sd[f"{key}.norm_k.weight"], f32),
+        }
+
+    def block(i):
+        b = f"transformer_blocks.{i}"
+        return {
+            "norm1": norm(f"{b}.norm1"),
+            "attn1": attn(f"{b}.attn1"),
+            "norm2": norm(f"{b}.norm2"),
+            "attn2": attn(f"{b}.attn2"),
+            "norm3": norm(f"{b}.norm3"),
+            "ff1": _lin(sd, f"{b}.ff.net.0.proj", dtype),
+            "ff2": _lin(sd, f"{b}.ff.net.2", dtype),
+        }
+
+    params = {
+        "patch_embed": _lin(sd, "patch_embed.proj", dtype),
+        "time_embed": {
+            "t_fc1": _lin(sd, "time_embed.t_embedder.linear_1", f32),
+            "t_fc2": _lin(sd, "time_embed.t_embedder.linear_2", f32),
+            "norm": jnp.asarray(sd["time_embed.norm.weight"], f32),
+        },
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "norm_out": norm("norm_out"),
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+    if "learnable_pos_embed.pos_emb_t" in sd:
+        params["pos_embed"] = {
+            "t": jnp.asarray(sd["learnable_pos_embed.pos_emb_t"], dtype),
+            "h": jnp.asarray(sd["learnable_pos_embed.pos_emb_h"], dtype),
+            "w": jnp.asarray(sd["learnable_pos_embed.pos_emb_w"], dtype),
+        }
+    return params
+
+
+def convert_t5_hf(sd: dict, cfg, dtype=jnp.bfloat16):
+    """HF T5EncoderModel state dict -> models/common/t5.py pytree.
+
+    Handles both T5 v1.0 (DenseReluDense.wi, shared relative bias — the
+    Cosmos text encoder t5-11b) and v1.1/UMT5 (wi_0/wi_1 gated, per-layer
+    bias when present)."""
+    f32 = jnp.float32
+    pre = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
+
+    def block(i):
+        b = f"{pre}block.{i}"
+        a = f"{b}.layer.0.SelfAttention"
+        ff = f"{b}.layer.1.DenseReluDense"
+        p = {
+            "norm1": jnp.asarray(sd[f"{b}.layer.0.layer_norm.weight"], f32),
+            "q": _lin(sd, f"{a}.q", dtype),
+            "k": _lin(sd, f"{a}.k", dtype),
+            "v": _lin(sd, f"{a}.v", dtype),
+            "o": _lin(sd, f"{a}.o", dtype),
+            "norm2": jnp.asarray(sd[f"{b}.layer.1.layer_norm.weight"], f32),
+        }
+        p["fc2"] = _lin(sd, f"{ff}.wo", dtype)
+        if f"{ff}.wi.weight" in sd:
+            p["fc1"] = _lin(sd, f"{ff}.wi", dtype)
+        else:
+            p["gate"] = _lin(sd, f"{ff}.wi_0", dtype)
+            p["fc1"] = _lin(sd, f"{ff}.wi_1", dtype)
+        if not cfg.shared_rel_bias:
+            p["rel_embedding"] = jnp.asarray(
+                sd[f"{a}.relative_attention_bias.weight"], f32
+            )
+        return p
+
+    embed_key = "shared.weight" if "shared.weight" in sd else f"{pre}embed_tokens.weight"
+    params = {
+        "token_embedding": jnp.asarray(sd[embed_key], dtype),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "norm": jnp.asarray(sd[f"{pre}final_layer_norm.weight"], f32),
+    }
+    if cfg.shared_rel_bias:
+        params["rel_embedding"] = jnp.asarray(
+            sd[f"{pre}block.0.layer.0.SelfAttention.relative_attention_bias.weight"], f32
+        )
+    return params

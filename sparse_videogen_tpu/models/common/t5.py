@@ -34,9 +34,19 @@ class T5Config:
     num_buckets: int = 32
     max_dist: int = 128
     eps: float = 1e-6
+    # architecture variants: UMT5 (Wan) = gated-GELU FFN + per-layer relative
+    # bias; T5 v1.0 (t5-11b, the Cosmos text encoder) = ReLU FFN + bias shared
+    # from the first layer (HF T5: has_relative_attention_bias on block 0).
+    gated_ffn: bool = True
+    shared_rel_bias: bool = False
+    ffn_act: str = "gelu_tanh"  # "gelu_tanh" | "relu"
 
 
 UMT5_XXL = T5Config()
+T5_11B = T5Config(
+    vocab_size=32128, dim=1024, dim_attn=16384, dim_ffn=65536, num_heads=128,
+    num_layers=24, gated_ffn=False, shared_rel_bias=True, ffn_act="relu",
+)
 
 
 def t5_layer_norm(x, w, eps=1e-6):
@@ -82,9 +92,14 @@ def _block(p, cfg: T5Config, x, bias, mask_bias):
     a = jax.nn.softmax(s, axis=-1).astype(x.dtype)
     o = jnp.einsum("bnij,bjnc->binc", a, v).reshape(B, Lq, cfg.dim_attn)
     x = x + L.linear(p["o"], o)
-    # feed-forward: fc1(x) * GELU(gate(x)) -> fc2  (t5.py:119-137)
+    # feed-forward: gated fc1(x) * act(gate(x)) -> fc2 (UMT5, t5.py:119-137)
+    # or plain act(fc1(x)) -> fc2 (T5 v1.0 DenseReluDense)
     y = t5_layer_norm(x, p["norm2"], cfg.eps)
-    y = L.linear(p["fc1"], y) * gelu_tanh_exact(L.linear(p["gate"], y))
+    act = gelu_tanh_exact if cfg.ffn_act == "gelu_tanh" else jax.nn.relu
+    if cfg.gated_ffn:
+        y = L.linear(p["fc1"], y) * act(L.linear(p["gate"], y))
+    else:
+        y = act(L.linear(p["fc1"], y))
     x = x + L.linear(p["fc2"], y)
     return x
 
@@ -99,10 +114,20 @@ def t5_encode(params, cfg: T5Config, ids, mask=None):
     else:
         mask_bias = jnp.zeros((1, 1, 1, Lq), jnp.float32)
 
-    def body(x, bp):
-        # per-layer relative bias (UMT5: shared_pos=False, t5.py:165)
-        bias = bp["rel_embedding"].astype(jnp.float32)[buckets].transpose(2, 0, 1)
-        return _block(bp, cfg, x, bias, mask_bias), None
+    if cfg.shared_rel_bias:
+        shared_bias = (
+            params["rel_embedding"].astype(jnp.float32)[buckets].transpose(2, 0, 1)
+        )
+
+        def body(x, bp):
+            return _block(bp, cfg, x, shared_bias, mask_bias), None
+
+    else:
+
+        def body(x, bp):
+            # per-layer relative bias (UMT5: shared_pos=False, t5.py:165)
+            bias = bp["rel_embedding"].astype(jnp.float32)[buckets].transpose(2, 0, 1)
+            return _block(bp, cfg, x, bias, mask_bias), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return t5_layer_norm(x, params["norm"], cfg.eps)
@@ -116,24 +141,33 @@ def init_t5_params(rng, cfg: T5Config, dtype=jnp.bfloat16):
         lin = lambda di, do, std: {
             "w": (jax.random.normal(next(ks), (di, do)) * std).astype(dtype)
         }
-        return {
+        p = {
             "norm1": jnp.ones((cfg.dim,), jnp.float32),
             "q": lin(cfg.dim, cfg.dim_attn, (cfg.dim * cfg.dim_attn) ** -0.5),
             "k": lin(cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
             "v": lin(cfg.dim, cfg.dim_attn, cfg.dim**-0.5),
             "o": lin(cfg.dim_attn, cfg.dim, cfg.dim_attn**-0.5),
-            "rel_embedding": (
-                jax.random.normal(next(ks), (cfg.num_buckets, cfg.num_heads))
-                * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5
-            ).astype(jnp.float32),
             "norm2": jnp.ones((cfg.dim,), jnp.float32),
-            "gate": lin(cfg.dim, cfg.dim_ffn, cfg.dim**-0.5),
             "fc1": lin(cfg.dim, cfg.dim_ffn, cfg.dim**-0.5),
             "fc2": lin(cfg.dim_ffn, cfg.dim, cfg.dim_ffn**-0.5),
         }
+        if cfg.gated_ffn:
+            p["gate"] = lin(cfg.dim, cfg.dim_ffn, cfg.dim**-0.5)
+        if not cfg.shared_rel_bias:
+            p["rel_embedding"] = (
+                jax.random.normal(next(ks), (cfg.num_buckets, cfg.num_heads))
+                * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5
+            ).astype(jnp.float32)
+        return p
 
-    return {
+    params = {
         "token_embedding": jax.random.normal(next(keys), (cfg.vocab_size, cfg.dim)).astype(dtype),
         "blocks": jax.vmap(block_init)(jnp.stack(L.split_keys(next(keys), cfg.num_layers))),
         "norm": jnp.ones((cfg.dim,), jnp.float32),
     }
+    if cfg.shared_rel_bias:
+        params["rel_embedding"] = (
+            jax.random.normal(next(keys), (cfg.num_buckets, cfg.num_heads))
+            * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5
+        ).astype(jnp.float32)
+    return params

@@ -3,3 +3,4 @@ pure-jax step updates)."""
 
 from sparse_videogen_tpu.schedulers.euler import FlowMatchEuler  # noqa: F401
 from sparse_videogen_tpu.schedulers.unipc import FlowUniPC  # noqa: F401
+from sparse_videogen_tpu.schedulers.edm_euler import EDMEuler  # noqa: F401

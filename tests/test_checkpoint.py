@@ -321,3 +321,47 @@ def test_convert_hyvideo_vae_structure():
 
     params = CK.convert_hyvideo_vae(sd, cfg)
     assert tree_shapes(params) == tree_shapes(ref)
+
+
+def test_convert_cosmos_dit_structure():
+    from sparse_videogen_tpu.models.cosmos import model as CM
+
+    cfg = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=32, num_layers=2,
+                          text_embed_dim=24, adaln_lora_dim=8, max_size=(4, 8, 8))
+    ref = CM.init_cosmos_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    sd = {}
+    h = cfg.hidden_size
+
+    def lin(key, di, do, bias=False):
+        sd[f"{key}.weight"] = rng.standard_normal((do, di)).astype(np.float32)
+        if bias:
+            sd[f"{key}.bias"] = rng.standard_normal((do,)).astype(np.float32)
+
+    import math as _m
+    lin("patch_embed.proj", cfg.patch_in_channels * _m.prod(cfg.patch_size), h)
+    lin("time_embed.t_embedder.linear_1", h, h)
+    lin("time_embed.t_embedder.linear_2", h, 3 * h)
+    sd["time_embed.norm.weight"] = np.ones(h, np.float32)
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}"
+        for n in ("norm1", "norm2", "norm3"):
+            lin(f"{b}.{n}.linear_1", h, cfg.adaln_lora_dim)
+            lin(f"{b}.{n}.linear_2", cfg.adaln_lora_dim, 3 * h)
+        for a, kv in (("attn1", h), ("attn2", cfg.text_embed_dim)):
+            lin(f"{b}.{a}.to_q", h, h); lin(f"{b}.{a}.to_k", kv, h)
+            lin(f"{b}.{a}.to_v", kv, h); lin(f"{b}.{a}.to_out.0", h, h)
+            sd[f"{b}.{a}.norm_q.weight"] = np.ones(cfg.attention_head_dim, np.float32)
+            sd[f"{b}.{a}.norm_k.weight"] = np.ones(cfg.attention_head_dim, np.float32)
+        lin(f"{b}.ff.net.0.proj", h, int(h * cfg.mlp_ratio))
+        lin(f"{b}.ff.net.2", int(h * cfg.mlp_ratio), h)
+    lin("norm_out.linear_1", h, cfg.adaln_lora_dim)
+    lin("norm_out.linear_2", cfg.adaln_lora_dim, 2 * h)
+    lin("proj_out", h, _m.prod(cfg.patch_size) * cfg.out_channels, bias=True)
+    mt, mh, mw = (s // p for s, p in zip(cfg.max_size, cfg.patch_size))
+    sd["learnable_pos_embed.pos_emb_t"] = rng.standard_normal((mt, h)).astype(np.float32)
+    sd["learnable_pos_embed.pos_emb_h"] = rng.standard_normal((mh, h)).astype(np.float32)
+    sd["learnable_pos_embed.pos_emb_w"] = rng.standard_normal((mw, h)).astype(np.float32)
+
+    params = CK.convert_cosmos_dit(sd, cfg, dtype=jnp.float32)
+    assert tree_shapes(params) == tree_shapes(ref)

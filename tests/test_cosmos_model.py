@@ -132,3 +132,14 @@ def test_cosmos_forward_parity(per_frame, fps):
     ref = torch_forward(params, CFG, torch.tensor(x), torch.tensor(t), torch.tensor(ctx), fps=fps).numpy()
     assert out.shape == ref.shape == (B, 16, Fr, H, W)
     np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_cosmos_cli_smoke(tmp_path):
+    from sparse_videogen_tpu.cli import cosmos_t2v
+
+    out = str(tmp_path / "cosmos.npz")
+    for pattern in ("SVG", "SAP"):
+        cosmos_t2v.main(["--smoke", "--pattern", pattern, "--output_file", out,
+                         "--num_inference_steps", "2"])
+        lat = np.load(out)["latents"]
+        assert np.isfinite(lat).all() and lat.shape[1] == 16

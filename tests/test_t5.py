@@ -71,3 +71,33 @@ def test_bucket_table_properties():
     assert b[0, 0] == 0
     # symmetry of structure: future vs past use disjoint bucket halves
     assert (b[0, 1:] >= 16).all() and (b[1:, 0] < 16).all()
+
+
+def test_t5_v1_shared_bias_parity_vs_hf():
+    """T5 v1.0 variant (relu, shared relative bias — the Cosmos text
+    encoder t5-11b) vs transformers T5EncoderModel."""
+    import torch
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    from sparse_videogen_tpu.io import checkpoint as CK
+
+    hf_cfg = HFT5Config(vocab_size=120, d_model=32, d_kv=8, d_ff=48, num_layers=3,
+                        num_heads=4, relative_attention_num_buckets=8,
+                        relative_attention_max_distance=16, feed_forward_proj="relu",
+                        dense_act_fn="relu", is_gated_act=False, dropout_rate=0.0)
+    torch.manual_seed(0)
+    hf = T5EncoderModel(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = T5.T5Config(vocab_size=120, dim=32, dim_attn=32, dim_ffn=48, num_heads=4,
+                      num_layers=3, num_buckets=8, max_dist=16,
+                      gated_ffn=False, shared_rel_bias=True, ffn_act="relu")
+    params = CK.convert_t5_hf(sd, cfg, dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(0, 120, (2, 9)).astype(np.int64)
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    got = np.asarray(T5.t5_encode(params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)))
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-4)
+    np.testing.assert_allclose(got[1, :6], ref[1, :6], atol=2e-4)
