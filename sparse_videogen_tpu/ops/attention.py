@@ -54,14 +54,8 @@ def _kernel(
     meta_hbm,  # HBM (R, nQ8, L) int32
     q_ref,  # VMEM (1, block_q, D)
     kv_ref,  # ANY/HBM (BH, Skv, 2D)
-    # outputs
-    o_ref,  # VMEM (1, block_q, D)
-    # scratch
-    meta_ref,  # SMEM (8, L)
-    kvbuf,  # VMEM (nbuf, block_kv, 2D)
-    meta_sem,
-    kv_sems,  # DMA sems (nbuf,)
-    *,
+    # outputs (o; optionally m, l softmax stats for ring combination)
+    *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -69,7 +63,12 @@ def _kernel(
     scale: float,
     meta_rows: int,
     nbuf: int,
+    return_stats: bool = False,
 ):
+    if return_stats:
+        o_ref, m_ref, l_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
+    else:
+        o_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
     b = pl.program_id(0)
     i = pl.program_id(1)
     b_meta = 0 if meta_rows == 1 else b
@@ -160,11 +159,14 @@ def _kernel(
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    if return_stats:
+        m_ref[0] = m.reshape(block_q // 128, 128)
+        l_ref[0] = l.reshape(block_q // 128, 128)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret", "return_stats"),
 )
 def block_sparse_attention_kv(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -178,6 +180,7 @@ def block_sparse_attention_kv(
     scale: float | None = None,
     nbuf: int = 2,
     interpret: bool | None = None,
+    return_stats: bool = False,
 ):
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
     D = D2 // 2
@@ -215,9 +218,21 @@ def block_sparse_attention_kv(
         scale=scale,
         meta_rows=R,
         nbuf=nbuf,
+        return_stats=return_stats,
     )
 
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((BH, Sq, D), q.dtype)
+    if return_stats:
+        # softmax stats for cross-shard (ring) combination, packed (Sq/128, 128)
+        stat_spec = pl.BlockSpec(
+            (1, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        stat_shape = jax.ShapeDtypeStruct((BH, Sq // 128, 128), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+
+    res = pl.pallas_call(
         kernel,
         grid=(BH, nQ),
         in_specs=[
@@ -226,10 +241,8 @@ def block_sparse_attention_kv(
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # kv
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, row_pad), jnp.int32),
             pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
@@ -241,6 +254,10 @@ def block_sparse_attention_kv(
         ),
         interpret=interpret,
     )(aux, meta, q, kv)
+    if return_stats:
+        o, m, l = res
+        return o, m.reshape(BH, Sq), l.reshape(BH, Sq)
+    return res
 
 
 # ---------------------------------------------------------------------------

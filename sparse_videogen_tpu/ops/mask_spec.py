@@ -38,10 +38,17 @@ class MaskSpec:
 def apply_mask_spec(spec: MaskSpec, qpos, kpos, aux):
     """qpos, kpos: broadcastable int32 arrays of global positions.
 
+    aux[2]/aux[3] are global q/k position offsets (0 in single-chip use;
+    ring attention passes the shard offsets so band/sink/text predicates
+    evaluate in GLOBAL coordinates, parallel/ring.py).
+
     Returns bool array (True = attend) or None when kind == "none".
     """
     if spec.kind == "none":
         return None
+    if aux is not None:
+        qpos = qpos + aux[2]
+        kpos = kpos + aux[3]
     band = jnp.abs(qpos - kpos) < spec.band_width
     if spec.kind == "band_sink":
         return band | (kpos < spec.sink_size)
