@@ -721,3 +721,85 @@ def convert_t5_hf(sd: dict, cfg, dtype=jnp.bfloat16):
             sd[f"{pre}block.0.layer.0.SelfAttention.relative_attention_bias.weight"], f32
         )
     return params
+
+
+def convert_cog_dit(sd: dict, cfg, dtype=jnp.bfloat16):
+    """diffusers CogVideoXTransformer3DModel state dict -> models/cog/model.py.
+
+    The reference's live model (svg/models/cog/custom_models.py subclasses
+    it). v1.5 checkpoints use a Linear patch_embed.proj (patch_size_t=2);
+    v1.0's Conv2d kernel==stride is flattened to the same matmul layout."""
+    f32 = jnp.float32
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], f32),
+                "b": jnp.asarray(sd[f"{key}.bias"], f32)}
+
+    def block(i):
+        b = f"transformer_blocks.{i}"
+        return {
+            "norm1": {"lin": _lin(sd, f"{b}.norm1.linear", f32), "norm": ln(f"{b}.norm1.norm")},
+            "attn": {
+                "q": _lin(sd, f"{b}.attn1.to_q", dtype),
+                "k": _lin(sd, f"{b}.attn1.to_k", dtype),
+                "v": _lin(sd, f"{b}.attn1.to_v", dtype),
+                "o": _lin(sd, f"{b}.attn1.to_out.0", dtype),
+                "norm_q": ln(f"{b}.attn1.norm_q"),
+                "norm_k": ln(f"{b}.attn1.norm_k"),
+            },
+            "norm2": {"lin": _lin(sd, f"{b}.norm2.linear", f32), "norm": ln(f"{b}.norm2.norm")},
+            "ffn": {"fc1": _lin(sd, f"{b}.ff.net.0.proj", dtype),
+                    "fc2": _lin(sd, f"{b}.ff.net.2", dtype)},
+        }
+
+    pw = sd["patch_embed.proj.weight"]
+    if pw.ndim == 4:  # v1.0 Conv2d (h, in, p, p)
+        pp = {"w": jnp.asarray(pw.reshape(pw.shape[0], -1).T, dtype),
+              "b": jnp.asarray(sd["patch_embed.proj.bias"], dtype)}
+    else:
+        pp = _lin(sd, "patch_embed.proj", dtype)
+
+    params = {
+        "time_emb": {"fc1": _lin(sd, "time_embedding.linear_1", f32),
+                     "fc2": _lin(sd, "time_embedding.linear_2", f32)},
+        "patch_proj": pp,
+        "text_proj": _lin(sd, "patch_embed.text_proj", dtype),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "norm_final": ln("norm_final"),
+        "norm_out": ln("norm_out.norm"),
+        "norm_out_lin": _lin(sd, "norm_out.linear", f32),
+        "proj_out": _lin(sd, "proj_out", dtype),
+    }
+    if "ofs_embedding.linear_1.weight" in sd:
+        params["ofs_emb"] = {"fc1": _lin(sd, "ofs_embedding.linear_1", f32),
+                             "fc2": _lin(sd, "ofs_embedding.linear_2", f32)}
+    return params
+
+
+def cog_config_from_json(path: str):
+    """CogConfig from a diffusers CogVideoXTransformer3DModel config.json
+    (num_attention_heads/attention_head_dim/ofs_embed_dim naming)."""
+    from sparse_videogen_tpu.models.cog.model import CogConfig
+
+    cj = os.path.join(path, "config.json")
+    if not os.path.isfile(cj):
+        return None
+    with open(cj) as f:
+        c = json.load(f)
+    heads = c.get("num_attention_heads", 48)
+    hd = c.get("attention_head_dim", 64)
+    return CogConfig(
+        num_layers=c.get("num_layers", 42),
+        hidden_size=heads * hd,
+        heads_num=heads,
+        head_dim=hd,
+        text_len=c.get("max_text_seq_length", 226),
+        text_dim=c.get("text_embed_dim", 4096),
+        in_channels=c.get("in_channels", 16),
+        out_channels=c.get("out_channels", 16),
+        patch_size=c.get("patch_size", 2),
+        patch_size_t=c.get("patch_size_t") or 2,
+        time_embed_dim=c.get("time_embed_dim", 512),
+        ofs_embed=c.get("ofs_embed_dim") is not None,
+        eps=c.get("norm_eps", 1e-5),
+    )

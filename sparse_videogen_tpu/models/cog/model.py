@@ -9,10 +9,13 @@ per-head LayerNorm qk-norm and rotary applied to video tokens only
 norm over the concatenated sequence (use_rotary_positional_embeddings=True
 path), AdaLN out + unpatchify with temporal patching (p_t=2, v1.5).
 
-Norm-internal details (CogVideoXLayerNormZero / AdaLayerNorm / patch embed)
-follow the diffusers implementations these classes subclass; checkpoint-level
-parity validation is pending real weights (see tests/test_cog_model.py for
-the structural/self-consistency coverage).
+Norm-internal details (CogVideoXLayerNormZero / AdaLayerNorm / patch embed /
+Timesteps(inner_dim, flip_sin_to_cos=True, freq_shift=0) / the v1.5 ofs
+embedding) follow the diffusers implementations these classes subclass —
+the reference forward (custom_models.py:70-165) calls them unchanged.
+tests/test_cog_model.py validates numerics against an independent torch
+mirror of those published formulas; io/checkpoint.convert_cog_dit maps the
+diffusers state dict.
 
 The reference supports SVG1 only for this model (cog_inference.py choices
 SVG/dense); same here.
@@ -43,6 +46,7 @@ class CogConfig:
     patch_size: int = 2
     patch_size_t: int = 2
     time_embed_dim: int = 512
+    ofs_embed: bool = False  # v1.5 I2V: extra Timesteps(ofs) conditioning
     ffn_mult: int = 4
     eps: float = 1e-5
 
@@ -53,6 +57,9 @@ class CogConfig:
 
 
 COG_5B = CogConfig()
+# CogVideoX1.5-5B-I2V (the reference's cog_inference.py model): image latents
+# concatenated channel-wise (16 noise + 16 image), ofs conditioning.
+COG_1_5_5B_I2V = CogConfig(in_channels=32, ofs_embed=True)
 
 
 def _ln(x, eps, w=None, b=None):
@@ -63,10 +70,10 @@ def _norm_zero(p, cfg, x, enc, temb):
     """CogVideoXLayerNormZero: silu(temb) -> 6 chunks; affine LN."""
     c = L.linear(p["lin"], jax.nn.silu(temb))
     shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(c, 6, axis=-1)
-    nx = _ln(x, cfg.eps, p["norm"]["w"], p["norm"]["b"]).astype(x.dtype)
-    ne = _ln(enc, cfg.eps, p["norm"]["w"], p["norm"]["b"]).astype(enc.dtype)
-    nx = nx * (1 + scale[:, None]) + shift[:, None]
-    ne = ne * (1 + e_scale[:, None]) + e_shift[:, None]
+    nx = _ln(x, cfg.eps, p["norm"]["w"], p["norm"]["b"])
+    ne = _ln(enc, cfg.eps, p["norm"]["w"], p["norm"]["b"])
+    nx = (nx * (1 + scale[:, None]) + shift[:, None]).astype(x.dtype)
+    ne = (ne * (1 + e_scale[:, None]) + e_shift[:, None]).astype(enc.dtype)
     return nx, ne, gate[:, None], e_gate[:, None]
 
 
@@ -92,15 +99,17 @@ def _attention(p, cfg, nx, ne, cos, sin, t, rng, layer_idx, attn, state):
 
 
 def _block(p, cfg, x, enc, temb, cos, sin, t, rng, layer_idx, attn, state):
+    # gates/modulations computed in f32; residual adds cast back to the
+    # carry dtype (bf16 end to end, matching the reference's autocast)
     nx, ne, g, eg = _norm_zero(p["norm1"], cfg, x, enc, temb)
     ax, ae, state = _attention(p["attn"], cfg, nx, ne, cos, sin, t, rng, layer_idx, attn, state)
-    x = x + g * ax
-    enc = enc + eg * ae
+    x = (x + g * ax).astype(x.dtype)
+    enc = (enc + eg * ae).astype(enc.dtype)
     nx, ne, g, eg = _norm_zero(p["norm2"], cfg, x, enc, temb)
     ff = L.mlp_gelu(p["ffn"], jnp.concatenate([ne, nx], axis=1))
     tl = enc.shape[1]
-    x = x + g * ff[:, tl:]
-    enc = enc + eg * ff[:, :tl]
+    x = (x + g * ff[:, tl:]).astype(x.dtype)
+    enc = (enc + eg * ff[:, :tl]).astype(enc.dtype)
     return x, enc, state
 
 
@@ -111,6 +120,7 @@ def cog_forward(
     t,  # (B,)
     encoder_hidden_states,  # (B, text_len, text_dim) T5 states
     *,
+    ofs=None,  # (B,) v1.5 I2V ofs values (pipeline passes 2.0)
     attention,
     attn_states=None,
     attn_consts=None,
@@ -121,12 +131,18 @@ def cog_forward(
     grid = (F // pt, H // p, W // p)
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
-    # time embedding: sinusoidal(flip_sin_to_cos) -> MLP
+    # time embedding: Timesteps(inner_dim, flip_sin_to_cos=True, shift=0)
+    # -> TimestepEmbedding MLP (diffusers cogvideox_transformer_3d.__init__;
+    # hyvideo's cos-first sinusoid is the same formula)
     from sparse_videogen_tpu.models.hyvideo.model import timestep_embedding
 
-    # 320-dim sinusoid (Timesteps) -> TimestepEmbedding MLP
-    temb = timestep_embedding(t, 320)
+    temb = timestep_embedding(t, cfg.hidden_size)
     temb = L.linear(params["time_emb"]["fc2"], jax.nn.silu(L.linear(params["time_emb"]["fc1"], temb)))
+    if cfg.ofs_embed:
+        ofs = jnp.full(t.shape, 2.0, jnp.float32) if ofs is None else ofs
+        oemb = timestep_embedding(ofs, cfg.time_embed_dim)
+        oemb = L.linear(params["ofs_emb"]["fc2"], jax.nn.silu(L.linear(params["ofs_emb"]["fc1"], oemb)))
+        temb = temb + oemb
 
     # patch embed: per (p_t, p, p) block -> linear; text projected and concat
     xt = x.reshape(B, C, grid[0], pt, grid[1], p, grid[2], p)
@@ -193,8 +209,8 @@ def init_cog_params(rng, cfg: CogConfig, dtype=jnp.bfloat16):
             "ffn": {"fc1": li(h, cfg.ffn_mult * h), "fc2": li(cfg.ffn_mult * h, h)},
         }
 
-    return {
-        "time_emb": {"fc1": lin(320, cfg.time_embed_dim), "fc2": lin(cfg.time_embed_dim, cfg.time_embed_dim)},
+    out = {
+        "time_emb": {"fc1": lin(h, cfg.time_embed_dim), "fc2": lin(cfg.time_embed_dim, cfg.time_embed_dim)},
         "patch_proj": lin(cfg.in_channels * cfg.patch_size_t * cfg.patch_size**2, h),
         "text_proj": lin(cfg.text_dim, h),
         "blocks": jax.vmap(block)(jnp.stack(L.split_keys(next(keys), cfg.num_layers))),
@@ -203,3 +219,9 @@ def init_cog_params(rng, cfg: CogConfig, dtype=jnp.bfloat16):
         "norm_out_lin": lin(cfg.time_embed_dim, 2 * h),
         "proj_out": lin(h, cfg.patch_size_t * cfg.patch_size**2 * cfg.out_channels),
     }
+    if cfg.ofs_embed:
+        out["ofs_emb"] = {
+            "fc1": lin(cfg.time_embed_dim, cfg.time_embed_dim),
+            "fc2": lin(cfg.time_embed_dim, cfg.time_embed_dim),
+        }
+    return out

@@ -365,3 +365,50 @@ def test_convert_cosmos_dit_structure():
 
     params = CK.convert_cosmos_dit(sd, cfg, dtype=jnp.float32)
     assert tree_shapes(params) == tree_shapes(ref)
+
+
+def test_convert_cog_dit_structure():
+    from sparse_videogen_tpu.models.cog import model as CM
+
+    cfg = CM.CogConfig(num_layers=2, hidden_size=64, heads_num=4, head_dim=16,
+                       text_len=10, text_dim=32, time_embed_dim=48,
+                       in_channels=32, ofs_embed=True)
+    ref = CM.init_cog_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    sd = {}
+    h = cfg.hidden_size
+
+    def lin(key, di, do):
+        sd[f"{key}.weight"] = rng.standard_normal((do, di)).astype(np.float32)
+        sd[f"{key}.bias"] = rng.standard_normal((do,)).astype(np.float32)
+
+    def ln(key, d):
+        sd[f"{key}.weight"] = np.ones(d, np.float32)
+        sd[f"{key}.bias"] = np.zeros(d, np.float32)
+
+    lin("time_embedding.linear_1", h, cfg.time_embed_dim)
+    lin("time_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("ofs_embedding.linear_1", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("ofs_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
+    lin("patch_embed.proj",
+        cfg.in_channels * cfg.patch_size_t * cfg.patch_size**2, h)
+    lin("patch_embed.text_proj", cfg.text_dim, h)
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}"
+        for n in ("norm1", "norm2"):
+            lin(f"{b}.{n}.linear", cfg.time_embed_dim, 6 * h)
+            ln(f"{b}.{n}.norm", h)
+        for q in ("to_q", "to_k", "to_v"):
+            lin(f"{b}.attn1.{q}", h, h)
+        lin(f"{b}.attn1.to_out.0", h, h)
+        ln(f"{b}.attn1.norm_q", cfg.head_dim)
+        ln(f"{b}.attn1.norm_k", cfg.head_dim)
+        lin(f"{b}.ff.net.0.proj", h, cfg.ffn_mult * h)
+        lin(f"{b}.ff.net.2", cfg.ffn_mult * h, h)
+    ln("norm_final", h)
+    ln("norm_out.norm", h)
+    lin("norm_out.linear", cfg.time_embed_dim, 2 * h)
+    lin("proj_out", h, cfg.patch_size_t * cfg.patch_size**2 * cfg.out_channels)
+
+    params = CK.convert_cog_dit(sd, cfg, dtype=jnp.float32)
+    assert tree_shapes(params) == tree_shapes(ref)

@@ -55,3 +55,185 @@ def test_cog_svg1_runs_text_first():
     rt = SVG1Runtime(plan, prompt_length=CFG.text_len)
     out, _ = CM.cog_forward(params, CFG, x, t, enc, attention=rt)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# Numeric parity vs an independent torch mirror of the reference forward
+# (custom_models.py:70-165 + the diffusers modules it calls unchanged:
+# CogVideoXPatchEmbed, CogVideoXLayerNormZero, Timesteps/TimestepEmbedding,
+# AdaLayerNorm, get_3d_rotary_pos_embed + apply_rotary_emb(unbind_dim=-1)).
+# ---------------------------------------------------------------------------
+
+import math
+
+import torch
+import torch.nn.functional as F
+
+
+def _tt(x):
+    return torch.tensor(np.asarray(x, np.float32))
+
+
+def _t_lin(p, x):
+    y = x @ _tt(p["w"])
+    if "b" in p:
+        y = y + _tt(p["b"])
+    return y
+
+
+def _t_ln(x, p, eps):
+    return F.layer_norm(x, (x.shape[-1],), _tt(p["w"]), _tt(p["b"]), eps)
+
+
+def _t_sinusoid(t, dim):
+    half = dim // 2
+    exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half
+    args = t.float()[:, None] * exponent.exp()[None]
+    return torch.cat([args.cos(), args.sin()], dim=-1)  # flip_sin_to_cos
+
+
+def _t_rope(grid, dims):
+    # get_3d_rotary_pos_embed: per-axis freqs, broadcast over (t,h,w), concat
+    parts = []
+    for ax, (sz, d) in enumerate(zip(grid, dims)):
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2, dtype=torch.float32) / d))
+        ang = torch.arange(sz, dtype=torch.float32)[:, None] * inv[None]
+        shape = [1, 1, 1, d // 2]
+        shape[ax] = sz
+        parts.append(ang.reshape(shape).expand(*grid, d // 2))
+    freqs = torch.cat(parts, dim=-1).reshape(math.prod(grid), -1)
+    # use_real=True: repeat_interleave(2) then pairwise rotation
+    return freqs.cos().repeat_interleave(2, -1), freqs.sin().repeat_interleave(2, -1)
+
+
+def _t_apply_rope(x, cos, sin):
+    # apply_rotary_emb(use_real=True, use_real_unbind_dim=-1)
+    xr, xi = x.reshape(*x.shape[:-1], -1, 2).unbind(-1)
+    rot = torch.stack([-xi, xr], dim=-1).flatten(-2)
+    return x * cos + rot * sin
+
+
+def _t_norm_zero(p, cfg, x, enc, temb):
+    c = _t_lin(p["lin"], F.silu(temb))
+    sh, sc, g, esh, esc, eg = c.chunk(6, dim=1)
+    nx = _t_ln(x, p["norm"], cfg.eps) * (1 + sc[:, None]) + sh[:, None]
+    ne = _t_ln(enc, p["norm"], cfg.eps) * (1 + esc[:, None]) + esh[:, None]
+    return nx, ne, g[:, None], eg[:, None]
+
+
+def _torch_cog_forward(params, cfg, x, t, enc_in, ofs=None):
+    """x: (B, F, C, H, W) — the diffusers input layout."""
+    B, Fr, C, H, W = x.shape
+    p, pt = cfg.patch_size, cfg.patch_size_t
+    grid = (Fr // pt, H // p, W // p)
+
+    temb = _t_sinusoid(t, cfg.hidden_size)
+    temb = _t_lin(params["time_emb"]["fc2"], F.silu(_t_lin(params["time_emb"]["fc1"], temb)))
+    if ofs is not None:
+        oemb = _t_sinusoid(ofs, cfg.time_embed_dim)
+        oemb = _t_lin(params["ofs_emb"]["fc2"], F.silu(_t_lin(params["ofs_emb"]["fc1"], oemb)))
+        temb = temb + oemb
+
+    # CogVideoXPatchEmbed (patch_size_t path)
+    img = x.permute(0, 1, 3, 4, 2)  # B,F,H,W,C
+    img = img.reshape(B, grid[0], pt, grid[1], p, grid[2], p, C)
+    img = img.permute(0, 1, 3, 5, 7, 2, 4, 6).flatten(4, 7).flatten(1, 3)
+    tok = _t_lin(params["patch_proj"], img)
+    enc = _t_lin(params["text_proj"], enc_in)
+    tl = enc.shape[1]
+
+    cos, sin = _t_rope(grid, cfg.rope_dims)
+    cos, sin = cos[None, None], sin[None, None]
+    Hh, D = cfg.heads_num, cfg.head_dim
+
+    for i in range(cfg.num_layers):
+        bp = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+        nx, ne, g, eg = _t_norm_zero(bp["norm1"], cfg, tok, enc, temb)
+        full = torch.cat([ne, nx], dim=1)
+        q = _t_lin(bp["attn"]["q"], full).unflatten(2, (Hh, D)).transpose(1, 2)
+        k = _t_lin(bp["attn"]["k"], full).unflatten(2, (Hh, D)).transpose(1, 2)
+        v = _t_lin(bp["attn"]["v"], full).unflatten(2, (Hh, D)).transpose(1, 2)
+        q = _t_ln(q, bp["attn"]["norm_q"], cfg.eps)
+        k = _t_ln(k, bp["attn"]["norm_k"], cfg.eps)
+        q = torch.cat([q[:, :, :tl], _t_apply_rope(q[:, :, tl:], cos, sin)], dim=2)
+        k = torch.cat([k[:, :, :tl], _t_apply_rope(k[:, :, tl:], cos, sin)], dim=2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = _t_lin(bp["attn"]["o"], o.transpose(1, 2).flatten(2, 3))
+        tok = tok + g * o[:, tl:]
+        enc = enc + eg * o[:, :tl]
+        nx, ne, g, eg = _t_norm_zero(bp["norm2"], cfg, tok, enc, temb)
+        h = torch.cat([ne, nx], dim=1)
+        h = _t_lin(bp["ffn"]["fc2"], F.gelu(_t_lin(bp["ffn"]["fc1"], h), approximate="tanh"))
+        tok = tok + g * h[:, tl:]
+        enc = enc + eg * h[:, :tl]
+
+    full = torch.cat([enc, tok], dim=1)
+    tok = _t_ln(full, params["norm_final"], cfg.eps)[:, tl:]
+    c = _t_lin(params["norm_out_lin"], F.silu(temb))
+    sh, sc = c.chunk(2, dim=1)
+    tok = _t_ln(tok, params["norm_out"], cfg.eps) * (1 + sc[:, None]) + sh[:, None]
+    tok = _t_lin(params["proj_out"], tok)
+    out = tok.reshape(B, grid[0], grid[1], grid[2], -1, pt, p, p)
+    out = out.permute(0, 1, 5, 4, 2, 6, 3, 7).flatten(6, 7).flatten(4, 5).flatten(1, 2)
+    return out  # (B, F, C, H, W)
+
+
+def test_cog_parity_vs_torch_mirror():
+    params, x, t, enc, layout = setup()
+    plan = make_svg1_plan(layout, SVGConfig(), block_q=128, block_kv=128)
+    rt = DenseRuntime(plan, prompt_length=CFG.text_len)
+    out, _ = CM.cog_forward(params, CFG, x, t, enc, attention=rt)
+
+    xt = torch.tensor(np.asarray(x)).permute(0, 2, 1, 3, 4)  # B,F,C,H,W
+    ref = _torch_cog_forward(params, CFG, xt, torch.tensor(np.asarray(t)),
+                             torch.tensor(np.asarray(enc)))
+    got = np.asarray(out)  # (B, F, C, H, W)
+    np.testing.assert_allclose(got, ref.numpy(), atol=3e-4, rtol=3e-3)
+
+
+def test_cog_ofs_embedding_parity():
+    cfg = CM.CogConfig(num_layers=1, hidden_size=64, heads_num=4, head_dim=16,
+                       text_len=10, text_dim=32, time_embed_dim=48,
+                       in_channels=32, ofs_embed=True)
+    params = CM.init_cog_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B, F_, H, W = 1, 4, 8, 12
+    x = jnp.asarray(rng.standard_normal((B, cfg.in_channels, F_, H, W)), jnp.float32)
+    t = jnp.asarray([400.0], jnp.float32)
+    enc = jnp.asarray(rng.standard_normal((B, cfg.text_len, cfg.text_dim)), jnp.float32)
+    grid = (F_ // cfg.patch_size_t, H // cfg.patch_size, W // cfg.patch_size)
+    layout = VideoLayout(num_frames=grid[0], frame_size=grid[1] * grid[2],
+                         context_length=cfg.text_len, text_position=TextPosition.FIRST)
+    plan = make_svg1_plan(layout, SVGConfig(), block_q=128, block_kv=128)
+    rt = DenseRuntime(plan, prompt_length=cfg.text_len)
+    out, _ = CM.cog_forward(params, cfg, x, t, enc, attention=rt)  # default ofs=2.0
+
+    xt = torch.tensor(np.asarray(x)).permute(0, 2, 1, 3, 4)
+    ref = _torch_cog_forward(params, cfg, xt, torch.tensor(np.asarray(t)),
+                             torch.tensor(np.asarray(enc)),
+                             ofs=torch.tensor([2.0]))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4, rtol=3e-3)
+
+
+def test_cog_pipeline_i2v_generate_latents():
+    """CogPipeline denoise loop at tiny shapes: CFG pair, DDIM, image-latent
+    channel concat, v1.5 front-frame padding discarded."""
+    from sparse_videogen_tpu.pipelines.cog import CogPipeline
+
+    cfg = CM.CogConfig(num_layers=2, hidden_size=64, heads_num=4, head_dim=16,
+                       text_len=10, text_dim=32, time_embed_dim=48,
+                       in_channels=32, ofs_embed=True)
+    params = CM.init_cog_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pipe = CogPipeline(cfg, params, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    H, W, frames = 64, 96, 17  # latent 8x12, f_lat=5 -> padded 6
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1, 16, 1, H // 8, W // 8)), jnp.float32)
+    lat = pipe.generate_latents(
+        ctx, jnp.zeros_like(ctx), img,
+        height=H, width=W, num_frames=frames, num_inference_steps=2,
+        pattern="SVG", first_layers_fp=0.5, first_times_fp=0.5,
+        svg=SVGConfig(num_sampled_rows=8, sparsity=0.5, profile_multiplier=1.5),
+    )
+    assert lat.shape == (1, 16, 5, H // 8, W // 8)  # front pad removed
+    assert np.isfinite(np.asarray(lat)).all()

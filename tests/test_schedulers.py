@@ -121,3 +121,39 @@ def test_unipc_timesteps_match_reference_semantics():
     assert sch.timesteps[0] > 990 and sch.timesteps[-1] > 0
     assert np.all(np.diff(sch.timesteps) < 0)
     assert sch.sigmas[-1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX DDIM (v-prediction, zero-terminal-SNR)
+# ---------------------------------------------------------------------------
+
+def test_cog_ddim_zero_terminal_snr_and_trailing_spacing():
+    from sparse_videogen_tpu.schedulers.ddim_cog import CogDDIM
+
+    sch = CogDDIM(50)
+    assert abs(sch.alphas_cumprod[-1]) < 1e-12  # zero terminal SNR
+    assert sch.timesteps[0] == 999 and sch.timesteps[-1] == 19
+    assert np.all(np.diff(sch.timesteps) == -20)
+
+
+@pytest.mark.parametrize("snr_shift", [1.0, 3.0])
+def test_cog_ddim_recovers_x0_given_true_v(snr_shift):
+    """Feeding the exact v for a fixed (x0, eps) pair must keep the DDIM
+    trajectory on x_t = sqrt(ac)*x0 + sqrt(1-ac)*eps and land on x0."""
+    from sparse_videogen_tpu.schedulers.ddim_cog import CogDDIM
+
+    sch = CogDDIM(10, snr_shift_scale=snr_shift)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 4, 8)).astype(np.float32)
+    eps = rng.standard_normal((1, 4, 8)).astype(np.float32)
+    # zero terminal SNR: x_T (t=999) is pure noise
+    x = jnp.asarray(eps)
+    st = sch.init_state()
+    for i in range(10):
+        t = int(sch.timesteps[i])
+        ac = sch.alphas_cumprod[t]
+        a, s = ac**0.5, (1 - ac) ** 0.5
+        np.testing.assert_allclose(np.asarray(x), a * x0 + s * eps, atol=1e-5)
+        v = jnp.asarray(a * eps - s * x0, jnp.float32)
+        x, st = sch.step(i, x, v, st)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=1e-5)
