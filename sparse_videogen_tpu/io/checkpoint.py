@@ -803,3 +803,70 @@ def cog_config_from_json(path: str):
         ofs_embed=c.get("ofs_embed_dim") is not None,
         eps=c.get("norm_eps", 1e-5),
     )
+
+
+def convert_clip_vision(sd: dict, cfg, dtype=jnp.float32):
+    """CLIP ViT vision tower -> models/common/clip.py vision pytree.
+
+    Accepts both the HF CLIPVisionModel naming (the Wan I2V repo's
+    image_encoder/, wan_i2v_inference.py:78) and the wan_orig vendored
+    XLMRobertaCLIP naming (visual.* with fused to_qkv, clip.py:215-316)."""
+    f32 = jnp.float32
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], f32),
+                "b": jnp.asarray(sd[f"{key}.bias"], f32)}
+
+    if any(k.startswith("vision_model.") for k in sd):
+        pre = "vision_model."
+
+        def block(i):
+            b = f"{pre}encoder.layers.{i}"
+            return {
+                "ln1": ln(f"{b}.layer_norm1"),
+                "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                "o": _lin(sd, f"{b}.self_attn.out_proj", dtype),
+                "ln2": ln(f"{b}.layer_norm2"),
+                "fc1": _lin(sd, f"{b}.mlp.fc1", dtype),
+                "fc2": _lin(sd, f"{b}.mlp.fc2", dtype),
+            }
+
+        pw = sd[f"{pre}embeddings.patch_embedding.weight"]
+        return {
+            "patch_proj": {"w": jnp.asarray(pw.reshape(pw.shape[0], -1).T, dtype)},
+            "cls": jnp.asarray(sd[f"{pre}embeddings.class_embedding"].reshape(1, -1), dtype),
+            "pos": jnp.asarray(sd[f"{pre}embeddings.position_embedding.weight"], dtype),
+            "pre_ln": ln(f"{pre}pre_layrnorm"),  # (sic) HF attribute name
+            "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+            "post_ln": ln(f"{pre}post_layernorm"),
+        }
+
+    # wan_orig naming: fused to_qkv split into q/k/v
+    def block(i):
+        b = f"visual.transformer.{i}"
+        qkv_w = sd[f"{b}.attn.to_qkv.weight"]  # (3*dim, dim)
+        qkv_b = sd[f"{b}.attn.to_qkv.bias"]
+        d = qkv_w.shape[1]
+        p = {
+            "ln1": ln(f"{b}.norm1"),
+            "ln2": ln(f"{b}.norm2"),
+            "o": _lin(sd, f"{b}.attn.proj", dtype),
+            "fc1": _lin(sd, f"{b}.mlp.0", dtype),
+            "fc2": _lin(sd, f"{b}.mlp.2", dtype),
+        }
+        for j, n in enumerate("qkv"):
+            p[n] = {"w": jnp.asarray(qkv_w[j * d:(j + 1) * d].T, dtype),
+                    "b": jnp.asarray(qkv_b[j * d:(j + 1) * d], dtype)}
+        return p
+
+    pw = sd["visual.patch_embedding.weight"]
+    return {
+        "patch_proj": {"w": jnp.asarray(pw.reshape(pw.shape[0], -1).T, dtype)},
+        "cls": jnp.asarray(sd["visual.cls_embedding"].reshape(1, -1), dtype),
+        "pos": jnp.asarray(sd["visual.pos_embedding"].reshape(-1, pw.shape[0]), dtype),
+        "pre_ln": ln("visual.pre_norm"),
+        "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
+        "post_ln": ln("visual.post_norm"),
+    }

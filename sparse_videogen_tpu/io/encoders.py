@@ -152,3 +152,51 @@ class HyVideoTextEncoders:
         cids, cmask = self.clip_tok(list(prompts), seq_len=77)
         pooled = self._clip(self.clip_params, jnp.asarray(cids), jnp.asarray(cmask))
         return states, out_mask, pooled
+
+
+class CLIPImageEncoder:
+    """Wan I2V image encoder (reference: wan_i2v_inference.py:78 loads HF
+    CLIPVisionModel from image_encoder/; clip_fea = hidden_states[-2]).
+
+    __call__ takes (B, 3, H, W) pixels in [-1, 1] and returns the
+    penultimate ViT-H/14 hidden states (B, 257, 1280)."""
+
+    def __init__(self, params, cfg):
+        from sparse_videogen_tpu.models.common.clip import clip_preprocess, clip_vision_forward
+
+        self.cfg = cfg
+        self._fwd = jax.jit(
+            lambda p, px: clip_vision_forward(
+                p, cfg, clip_preprocess(px, cfg.image_size), penultimate=True
+            )
+        )
+        self.params = params
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, dtype=jnp.float32):
+        import json
+
+        from sparse_videogen_tpu.io.checkpoint import convert_clip_vision, load_safetensors_dir
+        from sparse_videogen_tpu.models.common.clip import CLIP_VIT_H_14, CLIPVisionConfig
+
+        d = _find_subdir(model_dir, ["image_encoder", "clip"]) or model_dir
+        cfg = CLIP_VIT_H_14
+        cj = os.path.join(d, "config.json")
+        if os.path.isfile(cj):
+            with open(cj) as f:
+                c = json.load(f)
+            c = c.get("vision_config", c)
+            cfg = CLIPVisionConfig(
+                image_size=c.get("image_size", 224),
+                patch_size=c.get("patch_size", 14),
+                dim=c.get("hidden_size", 1280),
+                ffn_dim=c.get("intermediate_size", 5120),
+                num_layers=c.get("num_hidden_layers", 32),
+                num_heads=c.get("num_attention_heads", 16),
+                hidden_act=c.get("hidden_act", "gelu"),
+            )
+        params = convert_clip_vision(load_safetensors_dir(d), cfg, dtype=dtype)
+        return cls(params, cfg)
+
+    def __call__(self, pixels) -> jnp.ndarray:
+        return self._fwd(self.params, jnp.asarray(pixels, jnp.float32))

@@ -121,7 +121,9 @@ class WanPipeline:
         H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL
         key = jax.random.PRNGKey(seed)
         key, nkey = jax.random.split(key)
-        lat = jax.random.normal(nkey, (1, cfgm.in_dim, F_lat, H_lat, W_lat), jnp.float32)
+        # noise latents carry out_dim channels; I2V's extra in_dim-out_dim
+        # channels come from latent_cond (mask + image latents)
+        lat = jax.random.normal(nkey, (1, cfgm.out_dim, F_lat, H_lat, W_lat), jnp.float32)
         logger.info(
             f"wan generate: layout seq={layout.seq_len} ({layout.num_frames}x{layout.frame_size}), "
             f"steps={num_inference_steps}, pattern={pattern}, warmup={warmup}"
@@ -204,3 +206,22 @@ def export_video(video, path: str, fps: int = 16):
     v = np.clip((v + 1.0) * 127.5, 0, 255).astype(np.uint8)
     v = np.transpose(v, (1, 2, 3, 0))  # (T, H, W, 3)
     write_y4m(path, v, fps=fps)
+
+
+def build_i2v_condition(latent_condition, *, vae_temporal: int = VAE_TEMPORAL):
+    """I2V conditioning tensor (diffusers WanImageToVideoPipeline
+    .prepare_latents): 4-channel first-frame mask + 16-channel VAE latents
+    of the [image, zeros...] video -> (B, 20, F_lat, h, w), concatenated to
+    the noise latents on channels (model in_dim 36 = 16 + 20).
+
+    latent_condition: (B, 16, F_lat, h, w), already latent-normalized
+    (models/wan/vae.py vae_encode output).
+    """
+    B, C, F_lat, h, w = latent_condition.shape
+    # pixel-frame mask: frame 0 = 1 (repeated vae_temporal times), rest 0;
+    # grouped (F_lat, vae_temporal) -> transposed to (vae_temporal, F_lat)
+    n_pix = vae_temporal + ((F_lat - 1) * vae_temporal + 1) - 1  # = 4*F_lat
+    flat = jnp.zeros((B, n_pix, h, w), latent_condition.dtype)
+    flat = flat.at[:, :vae_temporal].set(1.0)
+    mask = flat.reshape(B, F_lat, vae_temporal, h, w).transpose(0, 2, 1, 3, 4)
+    return jnp.concatenate([mask, latent_condition], axis=1)

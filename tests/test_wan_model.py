@@ -154,3 +154,54 @@ def test_wan_forward_svg1_runs_and_warmup_matches_dense(setup):
         params, CFG, x, jnp.asarray([100.0], jnp.float32), ctx, attention=SVG1Runtime(plan_w)
     )
     assert np.all(np.isfinite(np.asarray(out_s)))
+
+
+def test_build_i2v_condition_mask_semantics():
+    """diffusers WanImageToVideoPipeline.prepare_latents: 4 mask channels all
+    ones at latent frame 0 (the conditioning image), zeros after; image
+    latents appended -> 20 channels."""
+    from sparse_videogen_tpu.pipelines.wan import build_i2v_condition
+
+    lat = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 5, 4, 6)), jnp.float32)
+    cond = build_i2v_condition(lat)
+    assert cond.shape == (1, 20, 5, 4, 6)
+    mask = np.asarray(cond[:, :4])
+    np.testing.assert_array_equal(mask[:, :, 0], 1.0)
+    np.testing.assert_array_equal(mask[:, :, 1:], 0.0)
+    np.testing.assert_array_equal(np.asarray(cond[:, 4:]), np.asarray(lat))
+
+
+def test_wan_i2v_pipeline_with_clip_and_condition():
+    """I2V denoise loop: clip_fea through img_emb, latent_cond channel-concat
+    (in_dim 36 = 16 noise + 20 cond)."""
+    from sparse_videogen_tpu.config import SVGConfig
+    from sparse_videogen_tpu.pipelines import WanPipeline
+    from sparse_videogen_tpu.pipelines.wan import build_i2v_condition
+
+    cfg = WM.WanConfig(model_type="i2v", in_dim=36, dim=64, ffn_dim=128,
+                       num_heads=4, num_layers=2, freq_dim=32, text_dim=32,
+                       text_len=8, image_dim=24)
+    params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    clip_fea = jnp.asarray(rng.standard_normal((1, 257, 24)), jnp.float32)
+    img_lat = jnp.asarray(rng.standard_normal((1, 16, 3, 8, 12)) * 0.1, jnp.float32)
+    pipe = WanPipeline(cfg, params, dtype=jnp.float32)
+    lat = pipe.generate_latents(
+        ctx, jnp.zeros_like(ctx),
+        height=64, width=96, num_frames=9, num_inference_steps=2,
+        pattern="SVG", first_layers_fp=0.5, first_times_fp=0.5,
+        svg=SVGConfig(num_sampled_rows=8, sparsity=0.5, profile_multiplier=1.5),
+        clip_fea=clip_fea, latent_cond=build_i2v_condition(img_lat),
+    )
+    assert lat.shape == (1, 16, 3, 8, 12)
+    assert np.isfinite(np.asarray(lat)).all()
+    # the conditioning image must influence the result
+    lat2 = pipe.generate_latents(
+        ctx, jnp.zeros_like(ctx),
+        height=64, width=96, num_frames=9, num_inference_steps=2,
+        pattern="SVG", first_layers_fp=0.5, first_times_fp=0.5,
+        svg=SVGConfig(num_sampled_rows=8, sparsity=0.5, profile_multiplier=1.5),
+        clip_fea=clip_fea, latent_cond=build_i2v_condition(img_lat * -1.0),
+    )
+    assert np.abs(np.asarray(lat) - np.asarray(lat2)).max() > 1e-6
