@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--kmeans_iter_step", type=int, default=2)
     p.add_argument("--zero_step_kmeans_init", action="store_true")
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--use_fp8", action="store_true",
+                   help="FP8 (e4m3) weight-only storage for block linears (reference --use-fp8)")
     return p
 
 
@@ -97,6 +99,14 @@ def main(argv=None):
             vae_decode = jax.jit(lambda z: HVV.vae_decode(vparams, vcfg, z))
         else:
             logger.warning(f"no {vae_dir}: saving latents instead of video")
+
+    if args.use_fp8:
+        from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+
+        for key in ("double_blocks", "single_blocks"):
+            if key in params:
+                params[key] = quantize_linears_fp8(params[key])
+        logger.info("fp8: block linears stored as e4m3 + per-layer scales")
 
     pipe = HyVideoPipeline(cfg, params)
     mask = jnp.asarray(mask)

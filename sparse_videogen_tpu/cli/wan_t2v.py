@@ -32,6 +32,8 @@ def build_parser():
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=5.0)
     p.add_argument("--flow_shift", type=float, default=None, help="default 5.0 for 720p, 3.0 otherwise")
+    p.add_argument("--sampler", type=str, default="unipc", choices=["unipc", "dpm++"],
+                   help="flow solver (wan_orig ships both: fm_solvers_unipc / fm_solvers)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_file", type=str, default="output.npz")
     # sparsity pattern (reference flags)
@@ -53,6 +55,8 @@ def build_parser():
     p.add_argument("--logging_file", type=str, default=None)
     # smoke mode
     p.add_argument("--smoke", action="store_true", help="tiny random-weight run (no checkpoints needed)")
+    p.add_argument("--use_fp8", action="store_true",
+                   help="FP8 (e4m3) weight-only storage for block linears (reference --use-fp8)")
     return p
 
 
@@ -127,12 +131,19 @@ def main(argv=None):
         else:
             logger.warning(f"no {vae_dir}: saving latents instead of video")
 
+    if args.use_fp8:
+        from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+
+        params["blocks"] = quantize_linears_fp8(params["blocks"])
+        logger.info("fp8: block linears stored as e4m3 + per-layer scales")
+
     pipe = WanPipeline(cfg, params)
     lat = pipe.generate_latents(
         ctx, ctx_null,
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, flow_shift=args.flow_shift,
+        sampler=args.sampler,
         pattern=args.pattern,
         first_layers_fp=args.first_layers_fp, first_times_fp=args.first_times_fp,
         svg=SVGConfig(num_sampled_rows=args.num_sampled_rows,

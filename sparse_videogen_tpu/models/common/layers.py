@@ -12,7 +12,15 @@ import jax.numpy as jnp
 
 
 def linear(p, x):
-    y = x @ p["w"].astype(x.dtype)
+    if "w8" in p:
+        # FP8 weight-only storage (utils/quant.py quantize_linears_fp8):
+        # dequant fuses into the matmul consumer; compute stays in x.dtype,
+        # matching the reference's fp8_linear_forward upconvert
+        # (hyvideo_orig/modules/fp8_optimization.py:62-86)
+        w = p["w8"].astype(x.dtype) * p["scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = x @ w
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

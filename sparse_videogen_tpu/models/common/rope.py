@@ -59,7 +59,18 @@ def apply_rope_interleaved(x, cos, sin):
     out[2i]   = x[2i]*cos_i - x[2i+1]*sin_i
     out[2i+1] = x[2i]*sin_i + x[2i+1]*cos_i
     Computed in f32, returned in x.dtype.
+
+    On TPU this dispatches to the fused Pallas kernel (ops/rope_pallas.py):
+    the strided even/odd slicing below relayouts through HBM, measured
+    61 GB/s vs 183+ GB/s fused at Wan-720p scale. The jnp path remains the
+    reference semantics (and the CPU/interpret path).
     """
+    import jax
+
+    if jax.default_backend() == "tpu" and x.shape[2] * x.shape[3] >= 1 << 16:
+        from sparse_videogen_tpu.ops.rope_pallas import apply_rope_fused
+
+        return apply_rope_fused(x, jnp.asarray(cos), jnp.asarray(sin))
     xf = x.astype(jnp.float32)
     x0 = xf[..., 0::2]
     x1 = xf[..., 1::2]

@@ -22,9 +22,16 @@ Per grid step (= one (batch*head, q-block row)):
      padding, array-end shifts) + optional MaskSpec token-level predicate
      (reproduces the reference flex mask_mods exactly, incl. partial blocks).
 
-Measured on v5e (S=32k, 12 heads, D=128, bf16, dense metadata):
-104-107 TFLOPs at block_q=512..1024, block_kv=512 (~54% peak; the no-softmax
-matmul+DMA pipeline reaches 122).
+Measured on v5e (S=32k, 12 heads, D=128, bf16, dense metadata;
+scripts/bench_kernel.py): 114.6 TFLOPs at block_q=512, block_kv=1024 (~58%
+peak, 94% of the 122-TFLOP no-softmax matmul+DMA pipeline ceiling at this
+D=128 dot shape); 127 TFLOPs at Wan-720p S=75,600. Negative results, so the
+next reader doesn't retry them: a 2-stream split unroll (independent online-
+softmax accumulators merged at the end, `unroll=2`) LOSES ~4% — the kernel
+is not VPU-latency-bound; replacing full-tile iota/compare/select masking
+with a broadcast column-bias add (kept, mask_spec="none" path) gains only
+~2% — not VPU-throughput-bound either. The limiter is the D=128-contraction
+MXU shape itself.
 """
 
 from __future__ import annotations
@@ -63,6 +70,7 @@ def _kernel(
     scale: float,
     meta_rows: int,
     nbuf: int,
+    unroll: int = 1,
     return_stats: bool = False,
 ):
     if return_stats:
@@ -73,6 +81,7 @@ def _kernel(
     i = pl.program_id(1)
     b_meta = 0 if meta_rows == 1 else b
     D = head_dim
+    NS = unroll * nbuf  # chunk slots
 
     # int32 HBM buffers are tiled (8, 128): fetch the aligned 8-row group.
     grp = (i // 8) * 8
@@ -89,61 +98,79 @@ def _kernel(
         meta_dma().wait()
 
     n = meta_ref[sub, 0]
+    # chunk count rounded up to the unroll width: tail chunks re-DMA the
+    # last real chunk (clamped index) with an empty [lo, hi) window, so the
+    # buffers always hold real data (0 * garbage-NaN would poison the PV
+    # matmul) and start/wait pairs stay symmetric.
+    n_up = ((n + unroll - 1) // unroll) * unroll if unroll > 1 else n
 
-    def kv_copy(slot, j):
-        idx = meta_ref[sub, 1 + 2 * j]
+    def kv_copy(slot, c):
+        ce = jnp.maximum(jnp.minimum(c, n - 1), 0)
+        idx = meta_ref[sub, 1 + 2 * ce]
         return pltpu.make_async_copy(
             kv_ref.at[b, pl.ds(idx * SUB, block_kv), :],
             kvbuf.at[slot],
             kv_sems.at[slot],
         )
 
-    for w in range(nbuf - 1):
+    for w in range(unroll * (nbuf - 1)):
 
-        @pl.when(w < n)
+        @pl.when(w < n_up)
         def _():
-            kv_copy(w % nbuf, w).start()
+            kv_copy(w % NS, w).start()
 
-    def body(j, carry):
-        acc, m, l = carry
-        slot = j % nbuf
+    # scale folded into q once per grid step: saves a full (block_q,
+    # block_kv) f32 multiply per chunk (f32 mul then cast keeps one rounding)
+    q_s = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
 
-        @pl.when(j + nbuf - 1 < n)
-        def _():
-            kv_copy((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
-
-        idx = meta_ref[sub, 1 + 2 * j]
-        win = meta_ref[sub, 2 + 2 * j]
+    def process(c, acc, m, l):
+        """Online-softmax update with chunk c (< n_up; tail chunks beyond n
+        get an empty window so their contribution is exactly zero)."""
+        ce = jnp.maximum(jnp.minimum(c, n - 1), 0)
+        slot = c % NS
+        idx = meta_ref[sub, 1 + 2 * ce]
+        win = meta_ref[sub, 2 + 2 * ce]
         lo = win // ENTRY_SCALE
         hi = win % ENTRY_SCALE
+        hi = jnp.where(c < n, hi, lo)  # tail chunk: empty window
 
-        kv_copy(slot, j).wait()
+        kv_copy(slot, c).wait()
+
         k_blk = kvbuf[slot][:, :D]
         v_blk = kvbuf[slot][:, D:]
-        q = q_ref[0]
 
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_s, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        allowed = (col >= lo) & (col < hi)
         if mask_spec.kind != "none":
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            allowed = (col >= lo) & (col < hi)
             qpos = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
             )
             kpos = idx * SUB + col
             allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
-        s = jnp.where(allowed, s, NEG_INF)
+            s = jnp.where(allowed, s, NEG_INF)
+        else:
+            # window masking via a broadcast additive bias over columns only
+            # (8, block_kv) instead of full-tile iota/compare/select — the
+            # VPU work per chunk drops from ~5 full passes to 1. Masked
+            # columns end at ~NEG_INF, so p underflows to exactly 0 whenever
+            # the row has any live column; rows with NO live column anywhere
+            # keep m == NEG_INF and are zeroed after the loop.
+            colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
+            bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
+            s = s + bias[:1]
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
-        # rows fully masked within this chunk: s == m_new == NEG_INF -> p=1;
-        # kill explicitly so they contribute nothing.
-        p = jnp.where(allowed, p, 0.0)
+        if mask_spec.kind != "none":
+            # rows fully masked within this chunk: s == m_new == NEG_INF ->
+            # p = 1; kill explicitly so they contribute nothing.
+            p = jnp.where(allowed, p, 0.0)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_blk.dtype),
@@ -152,13 +179,67 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
         acc = acc * alpha + pv
-        return (acc, m_new, l)
+        return acc, m_new, l
 
     acc0 = jnp.zeros((block_q, D), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+    if unroll == 1:
+
+        def body(j, carry):
+            acc, m, l = carry
+
+            @pl.when(j + nbuf - 1 < n)
+            def _():
+                kv_copy((j + nbuf - 1) % NS, j + nbuf - 1).start()
+
+            return process(j, acc, m, l)
+
+        acc, m, l = jax.lax.fori_loop(0, n, body, (acc0, m0, l0))
+    else:
+        # Split-stream unroll: `unroll` independent (acc, m, l) accumulators
+        # over interleaved chunk subsets give the scheduler independent
+        # MXU/VPU chains to overlap (the online-softmax carry is a serial
+        # dependency within a stream but streams only merge at the end —
+        # the merge below is the standard flash-attention combine).
+        def body(j, carry):
+            states = list(carry)
+            base = j * unroll
+            for u in range(unroll):
+                c_pre = base + unroll * (nbuf - 1) + u
+
+                @pl.when(c_pre < n_up)
+                def _():
+                    kv_copy(c_pre % NS, c_pre).start()
+
+            for u in range(unroll):
+                a, mm, ll = states[3 * u: 3 * u + 3]
+                a, mm, ll = process(base + u, a, mm, ll)
+                states[3 * u: 3 * u + 3] = [a, mm, ll]
+            return tuple(states)
+
+        npairs = (n + unroll - 1) // unroll
+        init = ()
+        for _ in range(unroll):
+            init = init + (acc0, m0, l0)
+        states = jax.lax.fori_loop(0, npairs, body, init)
+        acc, m, l = states[0], states[1], states[2]
+        for u in range(1, unroll):
+            a2, m2, l2 = states[3 * u: 3 * u + 3]
+            m_new = jnp.maximum(m, m2)
+            a0 = jnp.exp(m - m_new)
+            a1 = jnp.exp(m2 - m_new)
+            acc = acc * a0 + a2 * a1
+            l = l * a0 + l2 * a1
+            m = m_new
+
+    o = acc / jnp.maximum(l, 1e-20)
+    if mask_spec.kind == "none":
+        # bias-path safety: a row that never saw a live column keeps
+        # m ~ NEG_INF (its p's were washed out by alpha=0 merges) -> 0
+        o = jnp.where(m > 0.5 * NEG_INF, o, 0.0)
+    o_ref[0] = o.astype(o_ref.dtype)
     if return_stats:
         m_ref[0] = m.reshape(block_q // 128, 128)
         l_ref[0] = l.reshape(block_q // 128, 128)
@@ -166,7 +247,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret", "return_stats"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "interpret", "return_stats"),
 )
 def block_sparse_attention_kv(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -179,6 +260,7 @@ def block_sparse_attention_kv(
     mask_spec: MaskSpec = MaskSpec(),
     scale: float | None = None,
     nbuf: int = 2,
+    unroll: int = 1,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -218,6 +300,7 @@ def block_sparse_attention_kv(
         scale=scale,
         meta_rows=R,
         nbuf=nbuf,
+        unroll=unroll,
         return_stats=return_stats,
     )
 
@@ -245,9 +328,9 @@ def block_sparse_attention_kv(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, row_pad), jnp.int32),
-            pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
+            pltpu.VMEM((unroll * nbuf, block_kv, D2), kv.dtype),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((unroll * nbuf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

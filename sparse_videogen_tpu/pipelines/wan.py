@@ -53,7 +53,7 @@ def make_wan_runtime(
     svg: SVGConfig = SVGConfig(),
     sap: SAPConfig = SAPConfig(),
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     mesh=None,
 ):
     plan = make_svg1_plan(layout, svg, warmup, block_q=block_q, block_kv=block_kv)
@@ -90,6 +90,7 @@ class WanPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 5.0,
         flow_shift: float = 3.0,
+        sampler: str = "unipc",  # "unipc" (live diffusers path) | "dpm++"
         pattern: str = "SVG",
         first_layers_fp: float = 0.0,
         first_times_fp: float = 0.0,
@@ -105,7 +106,13 @@ class WanPipeline:
         """Run the denoise loop, return final latents (1, C, F', H', W')."""
         cfgm = self.model_cfg
         layout = wan_layout(cfgm, height, width, num_frames)
-        sch = FlowUniPC(num_inference_steps, shift=flow_shift)
+        if sampler == "dpm++":
+            # wan_orig's alternative solver (fm_solvers.py)
+            from sparse_videogen_tpu.schedulers import FlowDPM
+
+            sch = FlowDPM(num_inference_steps, shift=flow_shift)
+        else:
+            sch = FlowUniPC(num_inference_steps, shift=flow_shift)
         warmup = WarmupSchedule.from_fractions(
             first_layers_fp, first_times_fp, cfgm.num_layers, sch.timesteps
         )

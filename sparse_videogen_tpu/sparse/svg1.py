@@ -159,11 +159,16 @@ def make_svg1_plan(
     warmup: WarmupSchedule = WarmupSchedule(),
     *,
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     mask_kind: str | None = None,
 ) -> SVG1Plan:
+    """block_kv=1024 measured fastest on v5e (scripts/bench_kernel.py: dense
+    127 vs 117 TFLOPs at Wan-720p scale); clamped for short sequences."""
     from sparse_videogen_tpu.config import TextPosition
 
+    s_pad = -(-layout.seq_len // 128) * 128
+    block_kv = min(block_kv, s_pad)
+    block_q = min(block_q, s_pad)
     mul = core_masks.sparsity_to_width(
         cfg.sparsity, layout.context_length, layout.num_frames, layout.frame_size
     )

@@ -31,3 +31,50 @@ def random_orthogonal(dim: int, rng):
     a = jax.random.normal(rng, (dim, dim))
     qmat, _ = jnp.linalg.qr(a)
     return qmat
+
+
+# ---------------------------------------------------------------------------
+# FP8 weight-only storage (the reference's convert_fp8_linear path:
+# hyvideo_orig/modules/fp8_optimization.py — E4M3 weights + per-tensor scale,
+# upconverted before the matmul). TPU v5e has no fp8 matmul; like the
+# reference on pre-Hopper parts, fp8 here halves weight HBM (and the
+# memory-bound weight streaming of big linears), while compute stays bf16.
+# ---------------------------------------------------------------------------
+
+E4M3_MAX = 448.0
+
+
+def fp8_quantize_linear(p: dict, dtype=jnp.float8_e4m3fn) -> dict:
+    """{"w": (..., di, do), "b"?} -> {"w8", "scale", "b"?}.
+
+    Per-tensor absmax scale; for stacked per-layer weights (L, di, do) the
+    scale is per layer (L, 1, 1), matching the reference's per-linear scale.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)
+    axes = tuple(range(w.ndim - 2, w.ndim))
+    absmax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / E4M3_MAX
+    out = {k: v for k, v in p.items() if k != "w"}
+    out["w8"] = (w / scale).astype(dtype)
+    out["scale"] = scale
+    return out
+
+
+def quantize_linears_fp8(tree, *, min_size: int = 1 << 16, dtype=jnp.float8_e4m3fn):
+    """Walk a param pytree and convert every linear dict {"w": 2D+} whose
+    weight has at least `min_size` elements (embeddings/norms untouched —
+    the reference also only converts block linears)."""
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if (
+            w is not None
+            and hasattr(w, "ndim")
+            and w.ndim >= 2
+            and w.size >= min_size
+            and jnp.issubdtype(w.dtype, jnp.floating)
+        ):
+            return fp8_quantize_linear(tree, dtype=dtype)
+        return {k: quantize_linears_fp8(v, min_size=min_size, dtype=dtype) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_linears_fp8(v, min_size=min_size, dtype=dtype) for v in tree)
+    return tree

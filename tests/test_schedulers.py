@@ -157,3 +157,76 @@ def test_cog_ddim_recovers_x0_given_true_v(snr_shift):
         v = jnp.asarray(a * eps - s * x0, jnp.float32)
         x, st = sch.step(i, x, v, st)
     np.testing.assert_allclose(np.asarray(x), x0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Flow DPM-Solver++ (fm_solvers.py re-derivation)
+# ---------------------------------------------------------------------------
+
+def np_flow_dpm_reference(v_fn, x, sigmas, order=2):
+    """Direct numpy port of the reference step loop
+    (fm_solvers.py: convert_model_output + first/second order updates,
+    midpoint, final_sigmas_type=zero)."""
+    N = len(sigmas) - 1
+    lam = lambda i: (np.log(1 - sigmas[i]) - np.log(sigmas[i])
+                     if sigmas[i] > 0 else np.inf)
+    m_prev = None
+    lower_order_nums = 0
+    for i in range(N):
+        v = v_fn(x, sigmas[i])
+        m0 = x - sigmas[i] * v
+        lof = (i == N - 1)  # final_sigmas_type == "zero" forces order 1
+        use_first = order == 1 or lower_order_nums < 1 or lof
+        s_t, s_s = sigmas[i + 1], sigmas[i]
+        a_t = 1 - s_t
+        h = lam(i + 1) - lam(i)
+        em1 = np.expm1(-h) if np.isfinite(h) else -1.0
+        if use_first:
+            x = (s_t / s_s) * x - a_t * em1 * m0
+        else:
+            h0 = lam(i) - lam(i - 1)
+            r0 = h0 / h
+            D1 = (m0 - m_prev) / r0
+            x = (s_t / s_s) * x - a_t * em1 * (m0 + 0.5 * D1)
+        m_prev = m0
+        lower_order_nums = min(lower_order_nums + 1, order)
+    return x
+
+
+def test_flow_dpm_exact_on_constant_velocity():
+    """For a constant velocity field the flow is linear and DPM++ (any
+    order) must follow it exactly: x_i = x0 + sigma_i * v."""
+    from sparse_videogen_tpu.schedulers.fm_dpm import FlowDPM
+
+    sch = FlowDPM(10, shift=3.0)
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((2, 3)).astype(np.float64)
+    v = rng.standard_normal((2, 3)).astype(np.float64)
+    x = jnp.asarray(x0 + sch.sigmas[0] * v)
+    st = sch.init_state(x)
+    for i in range(10):
+        x, st = sch.step(i, x, jnp.asarray(v), st)
+        np.testing.assert_allclose(np.asarray(x), x0 + sch.sigmas[i + 1] * v, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x), x0, atol=1e-6)
+
+
+@pytest.mark.parametrize("steps", [4, 12, 50])
+def test_flow_dpm_matches_reference_port(steps):
+    from sparse_videogen_tpu.schedulers.fm_dpm import FlowDPM
+
+    sch = FlowDPM(steps, shift=5.0)
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((4, 4)) * 0.3
+
+    def v_fn(x, s):
+        return np.tanh(x @ W) + 0.1 * s * x
+
+    x0 = rng.standard_normal((2, 4))
+    ref = np_flow_dpm_reference(lambda x, s: v_fn(x, s), x0.copy(), sch.sigmas)
+
+    x = jnp.asarray(x0)
+    st = sch.init_state(x)
+    for i in range(steps):
+        v = jnp.asarray(v_fn(np.asarray(x), sch.sigmas[i]))
+        x, st = sch.step(i, x, v, st)
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-5, atol=1e-7)

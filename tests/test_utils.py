@@ -70,3 +70,36 @@ def test_visualizer_and_native_video(tmp_path):
     write_y4m(p, vid, fps=8)
     head = open(p, "rb").read(32)
     assert head.startswith(b"YUV4MPEG2 W16 H16 F8:1")
+
+
+def test_fp8_weight_only_linear_path():
+    """quantize_linears_fp8 + layers.linear dequant: error bounded by e4m3
+    resolution, small linears untouched, stacked weights get per-layer scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_videogen_tpu.models.common import layers as L
+    from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+
+    rng = np.random.default_rng(0)
+    params = {
+        "big": {"w": jnp.asarray(rng.standard_normal((512, 256)), jnp.float32),
+                "b": jnp.zeros((256,), jnp.float32)},
+        "stacked": {"w": jnp.asarray(rng.standard_normal((3, 512, 256)) * 5.0, jnp.float32)},
+        "tiny": {"w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)},
+    }
+    q = quantize_linears_fp8(params, min_size=1 << 10)
+    assert "w8" in q["big"] and q["big"]["w8"].dtype == jnp.float8_e4m3fn
+    assert q["stacked"]["scale"].shape == (3, 1, 1)
+    assert "w" in q["tiny"]  # untouched
+
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    y_ref = L.linear(params["big"], x)
+    y_q = L.linear(q["big"], x)
+    rel = np.abs(np.asarray(y_q - y_ref)).max() / np.abs(np.asarray(y_ref)).max()
+    assert rel < 0.05, rel  # e4m3 ~2 significand bits => few-% matmul error
+
+    y2_ref = jnp.einsum("bi,lio->lbo", x, params["stacked"]["w"])
+    y2_q = jnp.einsum("bi,lio->lbo", x, q["stacked"]["w8"].astype(jnp.float32) * q["stacked"]["scale"])
+    rel2 = np.abs(np.asarray(y2_q - y2_ref)).max() / np.abs(np.asarray(y2_ref)).max()
+    assert rel2 < 0.05, rel2
