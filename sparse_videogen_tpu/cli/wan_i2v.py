@@ -21,6 +21,9 @@ def build_parser():
     p.add_argument("--neg_prompt", type=str, default="")
     p.add_argument("--image_path", type=str, default=None,
                    help="conditioning image (png/jpg); .npy = (3, H, W) array in [-1, 1]")
+    p.add_argument("--prompt_source", type=str, default="prompt",
+                   choices=["prompt", "I2V_VBench", "I2V_Wan_Web"])
+    p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None,
                    help="dir with transformer/ image_encoder/ vae/ text_encoder/ (diffusers layout)")
     p.add_argument("--resolution", type=str, default="720p", choices=["480p", "720p"])
@@ -81,6 +84,12 @@ def main(argv=None):
     from sparse_videogen_tpu.utils.seed import seed_everything
 
     seed_everything(args.seed)
+    if args.prompt_source != "prompt":
+        from sparse_videogen_tpu.utils.dataloader import load_prompt_or_image
+
+        args.prompt, args.image_path = load_prompt_or_image(
+            args.prompt_source, args.prompt_idx, args.prompt, args.image_path
+        )
     flow_shift = 5.0 if args.resolution == "720p" else 3.0
     vae_decode = None
 

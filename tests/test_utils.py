@@ -103,3 +103,66 @@ def test_fp8_weight_only_linear_path():
     y2_q = jnp.einsum("bi,lio->lbo", x, q["stacked"]["w8"].astype(jnp.float32) * q["stacked"]["scale"])
     rel2 = np.abs(np.asarray(y2_q - y2_ref)).max() / np.abs(np.asarray(y2_ref)).max()
     assert rel2 < 0.05, rel2
+
+
+def test_load_prompt_or_image_sources(tmp_path):
+    from sparse_videogen_tpu.utils.dataloader import load_prompt_or_image
+
+    # passthrough
+    assert load_prompt_or_image("prompt", 0, "hi", None) == ("hi", None)
+    # T2V txt
+    txt = tmp_path / "p.txt"
+    txt.write_text("first\nsecond\n")
+    p, img = load_prompt_or_image("T2V_Wan_VBench", 1, str(txt), None)
+    assert p.strip() == "second" and img is None
+    # I2V web layout
+    ex = tmp_path / "web" / "003"
+    ex.mkdir(parents=True)
+    (ex / "prompt.txt").write_text("web prompt")
+    (ex / "image.jpg").write_bytes(b"\xff\xd8")
+    p, img = load_prompt_or_image("I2V_Wan_Web", 3, str(tmp_path / "web"), str(tmp_path / "web"))
+    assert p == "web prompt" and img.endswith("003/image.jpg")
+    # I2V VBench json
+    import json
+    (tmp_path / "orig name.jpg").write_bytes(b"\xff\xd8")
+    vb = tmp_path / "vb.json"
+    vb.write_text(json.dumps({"2": {"original": "orig name", "improved": "better"}}))
+    p, img = load_prompt_or_image("I2V_VBench", 2, str(vb), str(tmp_path))
+    assert p == "better" and img.endswith("orig name.jpg")
+
+
+def test_vbench_collect_and_mean(tmp_path):
+    import json
+
+    from sparse_videogen_tpu.utils import vbench
+
+    d1 = tmp_path / "a"; d1.mkdir()
+    (d1 / "x_eval_results.json").write_text(json.dumps(
+        {"subject_consistency": [0.9, ["..."]], "motion_smoothness": [0.7, []]}))
+    (tmp_path / "y_eval_results.json").write_text(json.dumps(
+        {"subject_consistency": [0.5, []]}))
+    m = vbench.mean_scores(str(tmp_path))
+    assert abs(m["subject_consistency"] - 0.7) < 1e-9
+    assert abs(m["motion_smoothness"] - 0.7) < 1e-9
+
+
+def test_extract_time(tmp_path):
+    from sparse_videogen_tpu.utils.extract_time import analyze_log
+
+    log = tmp_path / "run.log"
+    log.write_text(
+        "100%|██████████| 50/50 [02:00<00:00]\n"
+        "100%|██████████| 50/50 [04:00<00:00]\n"
+        "junk\n"
+    )
+    n, avg = analyze_log(str(log), 50)
+    assert n == 2 and avg == "03:00"
+
+
+def test_save_qkv_roundtrip(tmp_path):
+    from sparse_videogen_tpu.utils.misc import save_qkv
+
+    q = np.ones((1, 2, 4, 8), np.float32)
+    path = save_qkv(q, q * 2, q * 3, str(tmp_path), layer_idx=3, timestep=900)
+    data = np.load(path)
+    assert data["k"].max() == 2.0 and int(data["layer_idx"]) == 3
