@@ -71,6 +71,7 @@ class HyVideoPipeline:
         svg: SVGConfig = SVGConfig(sparsity=0.25, profile_multiplier=1.5),
         sap: SAPConfig = SAPConfig(),
         seed: int = 0,
+        image_latents=None,  # I2V: (1, 16, 1, h, w) VAE-encoded first frame
     ):
         cfg = self.model_cfg
         layout = hyvideo_layout(cfg, height, width, num_frames)
@@ -95,7 +96,22 @@ class HyVideoPipeline:
         H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL
         key = jax.random.PRNGKey(seed)
         key, nkey = jax.random.split(key)
-        lat = jax.random.normal(nkey, (1, cfg.in_channels, F_lat, H_lat, W_lat), jnp.float32)
+        lat = jax.random.normal(nkey, (1, cfg.out_channels, F_lat, H_lat, W_lat), jnp.float32)
+        cond = None
+        if image_latents is not None:
+            # HunyuanVideo-I2V "latent_concat" conditioning (community
+            # checkpoint, in_channels 33 = 16 noise + 16 image + 1 mask;
+            # hyvideo_i2v_inference.py loads it via the diffusers I2V
+            # pipeline): image at latent frame 0, zeros after; mask marks
+            # the conditioned frame.
+            assert cfg.in_channels == 2 * cfg.out_channels + 1, (
+                "I2V conditioning needs a latent_concat checkpoint (in_channels 33)"
+            )
+            img_full = jnp.zeros((1, cfg.out_channels, F_lat, H_lat, W_lat), jnp.float32)
+            img_full = img_full.at[:, :, :1].set(image_latents.astype(jnp.float32))
+            m = jnp.zeros((1, 1, F_lat, H_lat, W_lat), jnp.float32)
+            m = m.at[:, :, :1].set(1.0)
+            cond = jnp.concatenate([img_full, m], axis=1)
         logger.info(
             f"hyvideo generate: seq={layout.seq_len} (video {layout.video_length} + text {cfg.text_len}), "
             f"steps={num_inference_steps}, pattern={pattern}, prompt_len={prompt_length}"
@@ -106,9 +122,10 @@ class HyVideoPipeline:
         guidance = jnp.full((1,), embedded_guidance_scale * 1000.0, jnp.float32)
 
         @jax.jit
-        def fwd(params, lat, t, states, consts, key):
+        def fwd(params, lat, t, states, consts, key, cond=None):
+            x = lat if cond is None else jnp.concatenate([lat, cond], axis=1)
             v, states = HM.hyvideo_forward(
-                params, cfg, lat.astype(self.dtype), jnp.full((1,), t, jnp.float32),
+                params, cfg, x.astype(self.dtype), jnp.full((1,), t, jnp.float32),
                 text_states.astype(self.dtype), text_mask, text_pooled.astype(self.dtype),
                 guidance=guidance, attention=runtime, attn_states=states,
                 attn_consts=consts, rng=key,
@@ -118,7 +135,8 @@ class HyVideoPipeline:
         sstate = sch.init_state()
         for i in range(num_inference_steps):
             t = float(sch.timesteps[i])
-            v, astates = fwd(self.params, lat, t, astates, consts, jax.random.fold_in(key, i))
+            v, astates = fwd(self.params, lat, t, astates, consts,
+                             jax.random.fold_in(key, i), cond)
             lat, sstate = sch.step(i, lat, v, sstate)
         return lat
 

@@ -213,3 +213,29 @@ def test_hyvideo_svg1_runs(setup):
         jnp.asarray(mask), jnp.asarray(text2), guidance=jnp.asarray(g), attention=rt,
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hyvideo_i2v_latent_concat_pipeline():
+    """I2V (community latent_concat checkpoint semantics): in_channels 33 =
+    16 noise + 16 image latents + 1 first-frame mask; image must influence
+    the result."""
+    from sparse_videogen_tpu.pipelines.hyvideo import HyVideoPipeline
+
+    cfg = HM.HyVideoConfig(in_channels=33, hidden_size=64, heads_num=4,
+                           mm_double_blocks_depth=1, mm_single_blocks_depth=1,
+                           rope_dim_list=(4, 6, 6), text_states_dim=32,
+                           text_states_dim_2=16, text_len=8)
+    params = HM.init_hyvideo_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pipe = HyVideoPipeline(cfg, params, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 1, 0, 0, 0]]), jnp.int32)
+    pooled = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((1, 16, 1, 8, 12)), jnp.float32)
+    kw = dict(prompt_length=5, height=64, width=96, num_frames=9,
+              num_inference_steps=2, pattern="dense")
+    lat = pipe.generate_latents(text, mask, pooled, image_latents=img, **kw)
+    assert lat.shape == (1, 16, 3, 8, 12)
+    assert np.isfinite(np.asarray(lat)).all()
+    lat2 = pipe.generate_latents(text, mask, pooled, image_latents=img * -1.0, **kw)
+    assert np.abs(np.asarray(lat) - np.asarray(lat2)).max() > 1e-6
