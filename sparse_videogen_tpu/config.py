@@ -129,6 +129,9 @@ class SAPConfig:
     kmeans_iter_init: int = 50
     kmeans_iter_step: int = 2
     zero_step_kmeans_init: bool = False
+    # distance variant (kmeans_utils.py batch_kmeans_{Euclid,Cosine,Dot});
+    # the reference production path uses Euclid
+    kmeans_metric: str = "euclid"
     # TPU-specific: queries are permuted cluster-contiguously with each
     # cluster padded to a multiple of block_q (every q block then maps to
     # exactly one q cluster); keys/values are permuted UNPADDED and the

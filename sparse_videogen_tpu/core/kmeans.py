@@ -103,11 +103,30 @@ def _fused_iter(x, centroids):
     return labels, new.astype(x.dtype), counts.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk", "backend"))
+def _sim_iter(x, centroids, *, normalize_update: bool, chunk: int):
+    """Cosine/Dot iteration (kmeans_utils.py _cosine_iter/_dot_iter): assign
+    by max similarity; centroid update = member mean, L2-normalized (both
+    variants use the cosine update in the reference), empty keeps old."""
+    sim = jnp.einsum("bnd,bkd->bnk", x.astype(jnp.float32),
+                     centroids.astype(jnp.float32))
+    labels = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    new, sizes = centroid_update(x, labels, centroids, chunk=chunk)
+    if normalize_update:
+        n = jnp.linalg.norm(new.astype(jnp.float32), axis=-1, keepdims=True)
+        new = (new.astype(jnp.float32) / jnp.maximum(n, 1e-12)).astype(x.dtype)
+    return labels, new, sizes
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk", "backend", "metric"))
 def batch_kmeans(
-    x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk: int = 4096, backend: str = "pallas"
+    x, n_clusters: int, max_iters: int, init: jnp.ndarray, *, chunk: int = 4096,
+    backend: str = "pallas", metric: str = "euclid"
 ):
     """Run `max_iters` Lloyd iterations from `init` centroids.
+
+    metric: "euclid" (batch_kmeans_Euclid, the SAP production path),
+    "cosine" (inputs and centroids L2-normalized), or "dot" (raw
+    similarity, normalized centroid update) — kmeans_utils.py:646-663.
 
     Matches the reference loop structure (kmeans_utils.py:713-726): each
     iteration assigns against the *current* centroids then updates them, so
@@ -119,9 +138,19 @@ def batch_kmeans(
     Returns (labels (B,N) int32, centroids (B,K,D), cluster_sizes (B,K) int32).
     """
     B, N, D = x.shape
+    if metric == "cosine":
+        # batch_kmeans_Cosine normalizes the inputs up front (init centroids
+        # are drawn from the normalized x; idempotent for warm starts)
+        norm = lambda v: v / jnp.maximum(
+            jnp.linalg.norm(v.astype(jnp.float32), axis=-1, keepdims=True), 1e-12
+        ).astype(v.dtype)
+        x = norm(x)
+        init = norm(init)
     init = init.astype(x.dtype)
 
     def one_iter(c):
+        if metric in ("cosine", "dot"):
+            return _sim_iter(x, c, normalize_update=True, chunk=chunk)
         if backend == "pallas":
             return _fused_iter(x, c)
         labels = kmeans_assign(x, c, chunk=chunk)

@@ -63,10 +63,13 @@ def _kmeans_with_warmstart(x, n_clusters, state_centroids, initialized, cfg, rng
 
     def cold(_):
         init = init_centroids(x, n_clusters, rng)
-        return batch_kmeans(x, n_clusters, cfg.kmeans_iter_init, init)
+        return batch_kmeans(x, n_clusters, cfg.kmeans_iter_init, init, metric=cfg.kmeans_metric)
 
     def warm(_):
-        return batch_kmeans(x, n_clusters, cfg.kmeans_iter_step, state_centroids.astype(x.dtype))
+        return batch_kmeans(
+            x, n_clusters, cfg.kmeans_iter_step, state_centroids.astype(x.dtype),
+            metric=cfg.kmeans_metric,
+        )
 
     return jax.lax.cond(initialized, warm, cold, None)
 

@@ -58,3 +58,45 @@ def test_assign_chunked_equals_unchunked():
     a = KM.kmeans_assign(x, c, chunk=1000)
     b = KM.kmeans_assign(x, c, chunk=16)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kmeans_cosine_and_dot_match_reference_loop():
+    """Cosine/Dot variants vs a direct numpy port of the reference iteration
+    (kmeans_utils.py _cosine_iter/_dot_iter + torch_loop_centroid_update_cosine)."""
+    from sparse_videogen_tpu.core.kmeans import batch_kmeans
+
+    rng = np.random.default_rng(0)
+    B, N, D, K = 2, 96, 8, 5
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+    init = x[:, :K].copy()
+
+    def np_ref(xin, metric, iters):
+        xs = xin.copy()
+        if metric == "cosine":
+            xs = xs / np.maximum(np.linalg.norm(xs, axis=-1, keepdims=True), 1e-12)
+        c = (xs[:, :K] if metric == "cosine" else xin[:, :K]).copy()
+        labels = None
+        for _ in range(iters):
+            sim = np.einsum("bnd,bkd->bnk", xs, c)
+            labels = sim.argmax(-1)
+            new = np.zeros_like(c)
+            for b in range(B):
+                for k in range(K):
+                    m = labels[b] == k
+                    if m.any():
+                        v = xs[b][m].mean(0)
+                        new[b, k] = v / max(np.linalg.norm(v), 1e-12)
+                    else:
+                        new[b, k] = c[b, k]
+            c = new
+        return labels, c
+
+    for metric in ("cosine", "dot"):
+        ref_labels, ref_c = np_ref(x, metric, 3)
+        labels, cents, sizes = batch_kmeans(
+            jnp.asarray(x), K, 3, jnp.asarray(init), metric=metric, backend="jnp"
+        )
+        np.testing.assert_array_equal(np.asarray(labels), ref_labels)
+        np.testing.assert_allclose(np.asarray(cents), ref_c, atol=2e-5)
+        counts = np.stack([np.bincount(l, minlength=K) for l in ref_labels])
+        np.testing.assert_array_equal(np.asarray(sizes), counts)

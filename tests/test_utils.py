@@ -166,3 +166,32 @@ def test_save_qkv_roundtrip(tmp_path):
     path = save_qkv(q, q * 2, q * 3, str(tmp_path), layer_idx=3, timestep=900)
     data = np.load(path)
     assert data["k"].max() == 2.0 and int(data["layer_idx"]) == 3
+
+
+def test_prompt_expander_local_backend():
+    from sparse_videogen_tpu.utils.prompt_extend import (
+        LM_EN_SYS_PROMPT,
+        VL_ZH_SYS_PROMPT,
+        LocalLLMPromptExpander,
+    )
+
+    calls = []
+
+    def chat(system, user, image=None):
+        calls.append((system, user, image))
+        return f"rewritten: {user}"
+
+    pe = LocalLLMPromptExpander(chat)
+    out = pe("a cat", tar_lang="en", seed=7)
+    assert out.status and out.prompt == "rewritten: a cat" and out.seed == 7
+    assert calls[0][0] == LM_EN_SYS_PROMPT
+
+    vl = LocalLLMPromptExpander(chat, is_vl=True)
+    out2 = vl("a dog", tar_lang="zh", image="IMG")
+    assert out2.status and calls[-1] == (VL_ZH_SYS_PROMPT, "a dog", "IMG")
+
+    def broken(system, user, image=None):
+        raise RuntimeError("backend down")
+
+    out3 = LocalLLMPromptExpander(broken)("a cat", tar_lang="en")
+    assert not out3.status and out3.prompt == "a cat" and "backend down" in out3.message
