@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Canonical Cosmos T2V dense config (mirrors /root/reference/scripts/cosmos/cosmos_t2v_dense.sh).
+# MODEL_DIR: local converted checkpoint dir (see io/checkpoint.py); omit for
+# a reduced-size smoke run with random weights.
+set -euo pipefail
+MODEL_DIR="${MODEL_DIR:-}"
+MODEL_ARG=""
+if [ -n "$MODEL_DIR" ]; then MODEL_ARG="--model_dir $MODEL_DIR"; fi
+
+python -m sparse_videogen_tpu.cli.cosmos_t2v $MODEL_ARG \
+    --prompt "${PROMPT:-A cat walks on the grass, realistic}" \
+    --height 704 --width 1280 --num_frames 121 --num_inference_steps 35 \
+    --guidance_scale 7.0 --fps 30 --seed 0 \
+    --pattern dense

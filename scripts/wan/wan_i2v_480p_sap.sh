@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Canonical Wan I2V 480p SAP config (mirrors /root/reference/scripts/wan/wan_i2v_480p_sap.sh).
+# MODEL_DIR: local converted checkpoint dir (see io/checkpoint.py); omit for
+# a reduced-size smoke run with random weights.
+set -euo pipefail
+MODEL_DIR="${MODEL_DIR:-}"
+MODEL_ARG=""
+if [ -n "$MODEL_DIR" ]; then MODEL_ARG="--model_dir $MODEL_DIR"; fi
+
+python -m sparse_videogen_tpu.cli.wan_i2v $MODEL_ARG \
+    --prompt "${PROMPT:-A cat walks on the grass, realistic}" \
+    --image_path "${IMAGE:-examples/1/image.jpg}" \
+    --resolution 480p --num_frames 81 --num_inference_steps 50 --seed 0 \
+    --pattern SAP --num_q_centroids 300 --num_k_centroids 1000 \
+    --top_p_kmeans 0.9 --min_kc_ratio 0.10 \
+    --kmeans_iter_init 50 --kmeans_iter_step 2 \
+    --first_times_fp 0.2 --first_layers_fp 0.03

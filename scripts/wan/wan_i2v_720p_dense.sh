@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Canonical Wan I2V 720p dense config (mirrors /root/reference/scripts/wan/wan_i2v_720p_dense.sh).
+# MODEL_DIR: local converted checkpoint dir (see io/checkpoint.py); omit for
+# a reduced-size smoke run with random weights.
+set -euo pipefail
+MODEL_DIR="${MODEL_DIR:-}"
+MODEL_ARG=""
+if [ -n "$MODEL_DIR" ]; then MODEL_ARG="--model_dir $MODEL_DIR"; fi
+
+python -m sparse_videogen_tpu.cli.wan_i2v $MODEL_ARG \
+    --prompt "${PROMPT:-A cat walks on the grass, realistic}" \
+    --image_path "${IMAGE:-examples/1/image.jpg}" \
+    --resolution 720p --num_frames 81 --num_inference_steps 50 --seed 0 \
+    --pattern dense

@@ -99,8 +99,30 @@ def main(argv=None):
             "expected a HunyuanVideo-I2V latent_concat transformer (in_channels 33)"
         )
         params = convert_hyvideo_dit(load_safetensors_dir(tdir), cfg)
-        enc = HyVideoTextEncoders.from_dir(args.model_dir, text_len=cfg.text_len)
-        text, mask, pooled = enc([args.prompt])
+
+        assert args.image_path, "--image_path required for I2V"
+        img_px = None
+        if not args.image_path.endswith(".npy"):
+            from sparse_videogen_tpu.cli.wan_i2v import _load_image
+
+            img_px = jax.image.resize(
+                jnp.asarray(_load_image(args.image_path)),
+                (1, 3, args.height, args.width), method="cubic",
+            )
+
+        # Llava checkpoints (the community I2V text encoder) carry a vision
+        # tower — use the image-spliced prompt path; otherwise text-only.
+        edir = os.path.join(args.model_dir, "text_encoder")
+        cjf = os.path.join(edir, "config.json")
+        is_llava = os.path.isfile(cjf) and '"vision_config"' in open(cjf).read()
+        if is_llava and img_px is not None:
+            from sparse_videogen_tpu.io.encoders import LlavaImageTextEncoder
+
+            enc = LlavaImageTextEncoder.from_dir(args.model_dir, text_len=cfg.text_len)
+            text, mask, pooled = enc([args.prompt], img_px)
+        else:
+            enc = HyVideoTextEncoders.from_dir(args.model_dir, text_len=cfg.text_len)
+            text, mask, pooled = enc([args.prompt])
         del enc
 
         vae_dir = os.path.join(args.model_dir, "vae")
@@ -108,17 +130,10 @@ def main(argv=None):
         vparams = convert_hyvideo_vae(load_safetensors_dir(vae_dir), vcfg)
         vae_decode = jax.jit(lambda z: HVV.vae_decode(vparams, vcfg, z))
 
-        assert args.image_path, "--image_path required for I2V"
         if args.image_path.endswith(".npy"):
             img_lat = jnp.asarray(np.load(args.image_path), jnp.float32)
         else:
-            from sparse_videogen_tpu.cli.wan_i2v import _load_image
-
-            img = jax.image.resize(
-                jnp.asarray(_load_image(args.image_path)),
-                (1, 3, args.height, args.width), method="cubic",
-            )
-            img_lat = HVV.vae_encode(vparams, vcfg, img[:, :, None])
+            img_lat = HVV.vae_encode(vparams, vcfg, img_px[:, :, None])
 
     pipe = HyVideoPipeline(cfg, params)
     mask = jnp.asarray(mask)

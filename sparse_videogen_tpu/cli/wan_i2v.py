@@ -105,6 +105,9 @@ def main(argv=None):
         H, W = 96, 128
         args.num_frames = min(args.num_frames, 9)
         args.num_inference_steps = min(args.num_inference_steps, 4)
+        args.num_q_centroids = min(args.num_q_centroids, 8)
+        args.num_k_centroids = min(args.num_k_centroids, 12)
+        args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
         clip_fea = jnp.asarray(rng.standard_normal((1, 257, cfg.image_dim)), jnp.bfloat16)
         f_lat = 1 + (args.num_frames - 1) // VAE_TEMPORAL
         img_lat = jnp.asarray(

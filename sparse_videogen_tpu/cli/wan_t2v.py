@@ -100,6 +100,9 @@ def main(argv=None):
         args.height, args.width = min(args.height, 96), min(args.width, 128)
         args.num_frames = min(args.num_frames, 9)
         args.num_inference_steps = min(args.num_inference_steps, 4)
+        args.num_q_centroids = min(args.num_q_centroids, 8)
+        args.num_k_centroids = min(args.num_k_centroids, 12)
+        args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_wan_dit,

@@ -870,3 +870,27 @@ def convert_clip_vision(sd: dict, cfg, dtype=jnp.float32):
         "blocks": _stack([block(i) for i in range(cfg.num_layers)]),
         "post_ln": ln("visual.post_norm"),
     }
+
+
+def convert_llava(sd: dict, llama_cfg, vision_cfg, *, skip_layers: int = 2, dtype=jnp.bfloat16):
+    """HF LlavaForConditionalGeneration state dict -> models/common/llava.py
+    pytree {vision, projector, llama}.
+
+    Handles both naming generations: "model.vision_tower…/
+    model.language_model…" (transformers >= 4.52 refactor) and the legacy
+    "vision_tower…/language_model.model…"."""
+    new_style = any(k.startswith("model.vision_tower.") for k in sd)
+    vt = "model.vision_tower." if new_style else "vision_tower."
+    lm = "model.language_model." if new_style else "language_model.model."
+    proj = "model.multi_modal_projector." if new_style else "multi_modal_projector."
+
+    vis_sd = {k[len(vt):]: v for k, v in sd.items() if k.startswith(vt)}
+    lm_sd = {k[len(lm):]: v for k, v in sd.items() if k.startswith(lm)}
+    return {
+        "vision": convert_clip_vision(vis_sd, vision_cfg, dtype=jnp.float32),
+        "projector": {
+            "fc1": _lin(sd, f"{proj}linear_1", dtype),
+            "fc2": _lin(sd, f"{proj}linear_2", dtype),
+        },
+        "llama": convert_llama(lm_sd, llama_cfg, skip_layers=skip_layers, dtype=dtype),
+    }

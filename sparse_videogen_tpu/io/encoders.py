@@ -200,3 +200,141 @@ class CLIPImageEncoder:
 
     def __call__(self, pixels) -> jnp.ndarray:
         return self._fwd(self.params, jnp.asarray(pixels, jnp.float32))
+
+
+class LlavaImageTextEncoder:
+    """HunyuanVideo-I2V prompt conditioner: Llava (CLIP vision + projector +
+    LLaMA) with the image spliced into the prompt template at the <image>
+    placeholder (models/common/llava.py, HF-parity-tested).
+
+    The community I2V checkpoint's exact template/crop constants live in its
+    HF pipeline config (unavailable offline), so they are explicit knobs
+    here: `template` must contain "<image>"; `crop_start` drops that many
+    leading positions of the SPLICED sequence (instruction prefix);
+    `interleave` keeps every k-th image patch embedding
+    (image_embed_interleave). Returns (states, mask, pooled) like
+    HyVideoTextEncoders.
+    """
+
+    def __init__(self, llava_params, llama_cfg, vision_cfg, llama_tok,
+                 clip_params, clip_cfg, clip_tok, *, text_len=256,
+                 crop_start=0, template="<image>\n{}", interleave=1):
+        from sparse_videogen_tpu.models.common.clip import clip_text_encode
+        from sparse_videogen_tpu.models.common.llava import llava_encode
+
+        assert "<image>" in template
+        self.params = llava_params
+        self.llama_cfg = llama_cfg
+        self.vision_cfg = vision_cfg
+        self.llama_tok = llama_tok
+        self.clip_params = clip_params
+        self.clip_tok = clip_tok
+        self.text_len = text_len
+        self.crop_start = crop_start
+        self.template = template
+        self.interleave = interleave
+        self._llava = jax.jit(
+            lambda p, i, m, px, pos: llava_encode(
+                p, llama_cfg, vision_cfg, i, m, px, pos, interleave=interleave
+            ),
+            static_argnames=("pos",),
+        )
+        self._clip = jax.jit(lambda p, i, m: clip_text_encode(p, clip_cfg, i, m)[1])
+
+    @classmethod
+    def from_dir(cls, model_dir: str, *, dtype=jnp.bfloat16, skip_layers: int = 2, **kw):
+        import json
+
+        from sparse_videogen_tpu.io.checkpoint import (
+            convert_clip_text,
+            convert_llava,
+            dataclass_from_json,
+            load_safetensors_dir,
+        )
+        from sparse_videogen_tpu.io.tokenizer import HFTokenizerLite
+        from sparse_videogen_tpu.models.common.clip import (
+            CLIP_L_TEXT,
+            CLIPTextConfig,
+            CLIPVisionConfig,
+        )
+        from sparse_videogen_tpu.models.common.llama import LLAMA3_8B, LlamaConfig
+
+        ldir = _find_subdir(model_dir, ["text_encoder", "llava", "llm"]) or model_dir
+        lcfg = dataclass_from_json(ldir, LlamaConfig) or LLAMA3_8B
+        vcfg = CLIPVisionConfig(image_size=336, dim=1024, ffn_dim=4096,
+                                num_layers=24, num_heads=16, hidden_act="quick_gelu")
+        cj = os.path.join(ldir, "config.json")
+        if os.path.isfile(cj):
+            with open(cj) as f:
+                c = json.load(f)
+            tc = c.get("text_config", {})
+            if tc:
+                lcfg = LlamaConfig(
+                    vocab_size=tc.get("vocab_size", lcfg.vocab_size),
+                    dim=tc.get("hidden_size", lcfg.dim),
+                    ffn_dim=tc.get("intermediate_size", lcfg.ffn_dim),
+                    num_layers=tc.get("num_hidden_layers", lcfg.num_layers),
+                    num_heads=tc.get("num_attention_heads", lcfg.num_heads),
+                    num_kv_heads=tc.get("num_key_value_heads", lcfg.num_kv_heads),
+                    rope_theta=tc.get("rope_theta", lcfg.rope_theta),
+                    eps=tc.get("rms_norm_eps", lcfg.eps),
+                )
+            vc = c.get("vision_config", {})
+            if vc:
+                vcfg = CLIPVisionConfig(
+                    image_size=vc.get("image_size", 336),
+                    patch_size=vc.get("patch_size", 14),
+                    dim=vc.get("hidden_size", 1024),
+                    ffn_dim=vc.get("intermediate_size", 4096),
+                    num_layers=vc.get("num_hidden_layers", 24),
+                    num_heads=vc.get("num_attention_heads", 16),
+                    hidden_act=vc.get("hidden_act", "quick_gelu"),
+                )
+        params = convert_llava(load_safetensors_dir(ldir), lcfg, vcfg,
+                               skip_layers=skip_layers, dtype=dtype)
+        ltok = HFTokenizerLite.from_dir(ldir)
+
+        cdir = _find_subdir(model_dir, ["text_encoder_2", "clip", "clipL"]) or model_dir
+        ccfg = dataclass_from_json(cdir, CLIPTextConfig) or CLIP_L_TEXT
+        cparams = convert_clip_text(load_safetensors_dir(cdir), ccfg, dtype=dtype)
+        ctok = HFTokenizerLite.from_dir(cdir)
+        return cls(params, lcfg, vcfg, ltok, cparams, ccfg, ctok, **kw)
+
+    def _tokenize_unpadded(self, text, cap=512):
+        ids, mask = self.llama_tok([text], seq_len=cap)
+        n = int(np.asarray(mask)[0].sum())
+        return np.asarray(ids)[0, :n]
+
+    def __call__(self, prompts, image):
+        """prompts: list[str]; image: (1, 3, H, W) in [-1, 1]."""
+        from sparse_videogen_tpu.models.common.clip import clip_preprocess
+
+        assert len(prompts) == 1, "one prompt per call (static image splice)"
+        pre, post = self.template.split("<image>")
+        suffix = post.format(prompts[0]) if "{}" in post else post + prompts[0]
+        pre_ids = self._tokenize_unpadded(pre) if pre else np.zeros((0,), np.int32)
+        suf_ids = self._tokenize_unpadded(suffix)
+
+        # target length of the SPLICED sequence is crop_start + text_len;
+        # the ids sequence is that minus the image expansion (+1 placeholder)
+        n_img = -(-self.vision_cfg.grid ** 2 // self.interleave)
+        L_ids = self.crop_start + self.text_len - n_img + 1
+        pre_len = len(pre_ids)
+        body = np.concatenate([pre_ids, np.zeros((1,), pre_ids.dtype), suf_ids])
+        n_real = min(len(body), L_ids)
+        ids = np.zeros((1, L_ids), np.int32)
+        ids[0, :n_real] = body[:n_real]
+        mask = np.zeros((1, L_ids), np.int32)
+        mask[0, :n_real] = 1
+
+        px = clip_preprocess(jnp.asarray(image), self.vision_cfg.image_size)
+        hidden, mask2 = self._llava(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), px, pre_len
+        )
+        states = hidden[:, self.crop_start:self.crop_start + self.text_len]
+        out_mask = mask2[:, self.crop_start:self.crop_start + self.text_len]
+        states = states * out_mask[..., None].astype(states.dtype)
+
+        cids, cmask = self.clip_tok(list(prompts), seq_len=77)
+        pooled = self._clip(self.clip_params, jnp.asarray(cids), jnp.asarray(cmask))
+        return states, out_mask, pooled

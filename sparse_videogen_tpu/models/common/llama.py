@@ -90,16 +90,19 @@ def _block(p, cfg: LlamaConfig, x, cos, sin, bias):
     return x
 
 
-def llama_encode(params, cfg: LlamaConfig, ids, mask):
+def llama_encode(params, cfg: LlamaConfig, ids, mask, *, inputs_embeds=None):
     """ids, mask: (B, L) -> hidden states after the last block in params.
 
     params["blocks"] holds only the ACTIVE layers (the converter drops the
     final hidden_state_skip_layer layers), so the result equals HF
     outputs.hidden_states[-(skip + 1)] with apply_final_norm=False (the
     hyvideo default).
+
+    inputs_embeds: optional (B, L, dim) overriding the token embedding
+    lookup (the Llava image-splice path, models/common/llava.py).
     """
     B, Lq = ids.shape
-    x = params["embed"][ids]
+    x = params["embed"][ids] if inputs_embeds is None else inputs_embeds
     cos, sin = rope_tables(Lq, cfg.head_dim, cfg.rope_theta)
     causal = jnp.tril(jnp.ones((Lq, Lq), bool))
     allowed = causal[None, None] & (mask[:, None, None, :] != 0)

@@ -163,3 +163,122 @@ def test_clip_vision_wan_orig_naming_matches_hf_naming():
         sd2[f"{b}.mlp.2.bias"] = sd[f"{hb}.mlp.fc2.bias"]
     b_ = convert_clip_vision(sd2, cfg)
     jax.tree.map(lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), a, b_)
+
+
+def test_llava_image_splice_parity():
+    """Llava prompt+image encoding (the HunyuanVideo-I2V text conditioner)
+    vs HF LlavaForConditionalGeneration: penultimate-layer image features,
+    CLS dropped, 2-linear projector, embeddings spliced at the image token,
+    hidden_states[-(skip+1)] of the language model."""
+    import torch
+    from transformers import CLIPVisionConfig as HFV
+    from transformers import LlamaConfig as HFL
+    from transformers import LlavaConfig, LlavaForConditionalGeneration
+
+    from sparse_videogen_tpu.io.checkpoint import convert_llava
+    from sparse_videogen_tpu.models.common import clip as C
+    from sparse_videogen_tpu.models.common.llama import LlamaConfig
+    from sparse_videogen_tpu.models.common.llava import llava_encode
+
+    hf_cfg = LlavaConfig(
+        vision_config=HFV(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                          num_attention_heads=4, image_size=28, patch_size=14,
+                          hidden_act="gelu").to_dict(),
+        text_config=HFL(hidden_size=48, intermediate_size=96, num_hidden_layers=4,
+                        num_attention_heads=4, num_key_value_heads=2, vocab_size=99,
+                        max_position_embeddings=64, rope_theta=500000.0,
+                        rms_norm_eps=1e-5).to_dict(),
+        image_token_index=98, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+    llama_cfg = LlamaConfig(vocab_size=99, dim=48, ffn_dim=96, num_layers=4,
+                            num_heads=4, num_kv_heads=2)
+    vision_cfg = C.CLIPVisionConfig(image_size=28, patch_size=14, dim=32, ffn_dim=64,
+                                    num_layers=3, num_heads=4, hidden_act="gelu")
+    skip = 2
+    params = convert_llava(sd, llama_cfg, vision_cfg, skip_layers=skip, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    n_img = (28 // 14) ** 2  # 4 patches
+    IMG = 98
+    # ours: ONE placeholder at position 2; HF: n_img copies (the processor's
+    # pre-expanded form the model expects)
+    ours_ids = np.array([[5, 7, IMG, 9, 11, 3]], np.int32)
+    ours_mask = np.array([[1, 1, 1, 1, 1, 0]], np.int32)
+    hf_ids = np.array([[5, 7] + [IMG] * n_img + [9, 11, 3]], np.int64)
+    hf_mask = np.array([[1, 1] + [1] * n_img + [1, 1, 0]], np.int64)
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(hf_ids), pixel_values=torch.tensor(px),
+                 attention_mask=torch.tensor(hf_mask), output_hidden_states=True)
+    ref = out.hidden_states[-(skip + 1)].numpy()
+
+    got, mask2 = llava_encode(params, llama_cfg, vision_cfg,
+                              jnp.asarray(ours_ids), jnp.asarray(ours_mask),
+                              jnp.asarray(px), image_pos=2)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(mask2), hf_mask.astype(np.int32))
+    # compare only attended positions (padded tails may differ). Projected
+    # image embeddings are ~100x larger than token embeddings, so absolute
+    # f32 reassociation noise scales up — check relative error.
+    live = hf_mask[0].astype(bool)
+    g, r = np.asarray(got)[0][live], ref[0][live]
+    rel = np.linalg.norm(g - r) / np.linalg.norm(r)
+    assert rel < 1e-3, rel
+    np.testing.assert_allclose(g, r, atol=5e-3, rtol=2e-2)
+
+
+def test_llava_image_text_encoder_end_to_end(tmp_path):
+    """LlavaImageTextEncoder: template splice, crop, mask, pooled — driven
+    with tiny random params and a word-level tokenizer."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from sparse_videogen_tpu.io.encoders import LlavaImageTextEncoder
+    from sparse_videogen_tpu.io.tokenizer import HFTokenizerLite
+    from sparse_videogen_tpu.models.common.clip import CLIPVisionConfig
+    from sparse_videogen_tpu.models.common.clip import init_clip_text_params, CLIPTextConfig
+    from sparse_videogen_tpu.models.common.clip import init_clip_vision_params
+    from sparse_videogen_tpu.models.common.llama import LlamaConfig, init_llama_params
+    from sparse_videogen_tpu.models.common import layers as L
+
+    words = ["describe", "the", "video", "a", "cat", "walks"]
+    vocab = {"<pad>": 0}
+    for i, w in enumerate(words):
+        vocab[w] = i + 1
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<pad>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    ltok = HFTokenizerLite(tok, pad_id=0)
+
+    llama_cfg = LlamaConfig(vocab_size=16, dim=32, ffn_dim=64, num_layers=2,
+                            num_heads=4, num_kv_heads=2)
+    vision_cfg = CLIPVisionConfig(image_size=28, patch_size=14, dim=32, ffn_dim=64,
+                                  num_layers=2, num_heads=4, hidden_act="gelu")
+    clip_cfg = CLIPTextConfig(vocab_size=16, dim=24, ffn_dim=48, num_layers=2,
+                              num_heads=4, max_positions=77)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "vision": init_clip_vision_params(key, vision_cfg),
+        "projector": {"fc1": L.init_linear(key, 32, 32), "fc2": L.init_linear(key, 32, 32)},
+        "llama": init_llama_params(key, llama_cfg, dtype=jnp.float32),
+    }
+    enc = LlavaImageTextEncoder(
+        params, llama_cfg, vision_cfg, ltok,
+        init_clip_text_params(key, clip_cfg), clip_cfg, ltok,
+        text_len=12, crop_start=2, template="describe the video <image> {}",
+    )
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 20, 24)), jnp.float32)
+    states, mask, pooled = enc(["a cat walks"], img)
+    assert states.shape == (1, 12, 32) and pooled.shape == (1, 24)
+    assert np.isfinite(np.asarray(states)).all()
+    # the image must influence the states (spliced before the prompt)
+    states2, _, _ = enc(["a cat walks"], img * -1.0)
+    assert np.abs(np.asarray(states) - np.asarray(states2)).max() > 1e-6
+    # masked tail is zeroed
+    m = np.asarray(mask)[0]
+    assert m.sum() < 12 and np.abs(np.asarray(states)[0][m == 0]).max() == 0.0
