@@ -45,6 +45,7 @@ def main(argv=None):
 
     seed_everything(args.seed)
     use_dynamic_cfg = args.version == "v1"
+    vae_decode = None
 
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: smoke generation with random weights")
@@ -91,12 +92,30 @@ def main(argv=None):
         ctx_null = encode([args.negative_prompt]).astype(jnp.bfloat16)
         del t5_params
 
+        vae_dir = os.path.join(args.model_dir, "vae")
+        if os.path.isdir(vae_dir):
+            from sparse_videogen_tpu.io.checkpoint import cog_vae_config_from_json, convert_cog_vae
+            from sparse_videogen_tpu.models.cog import vae as CVAE
+
+            vae_cfg = cog_vae_config_from_json(vae_dir) or CVAE.CogVAEConfig()
+            vae_params = convert_cog_vae(load_safetensors_dir(vae_dir), vae_cfg)
+            vae_decode = jax.jit(lambda z: CVAE.vae_decode(vae_params, vae_cfg, z))
+
         assert args.image_path is not None, "--image_path required for I2V"
-        assert args.image_path.endswith(".npy"), (
-            "pixel-image conditioning needs the CogVideoX VAE encoder; pass "
-            "precomputed VAE latents as .npy (1, 16, 1, H/8, W/8)"
-        )
-        img_lat = jnp.asarray(np.load(args.image_path), jnp.float32)
+        if args.image_path.endswith(".npy"):
+            img_lat = jnp.asarray(np.load(args.image_path), jnp.float32)
+        else:
+            assert vae_decode is not None, (
+                "pixel-image conditioning needs the CogVideoX VAE under "
+                f"{vae_dir}; otherwise pass precomputed latents as .npy "
+                "(1, 16, 1, H/8, W/8)"
+            )
+            from sparse_videogen_tpu.cli.wan_i2v import _load_image
+
+            img = jnp.asarray(_load_image(args.image_path))  # (1, 3, H, W) in [-1, 1]
+            img = jax.image.resize(img, (1, 3, args.height, args.width), "bilinear")
+            raw = CVAE.vae_encode(vae_params, vae_cfg, img[:, :, None])
+            img_lat = CVAE.scale_latents(vae_cfg, raw)
 
     pipe = CogPipeline(cfg, params)
     lat = pipe.generate_latents(
@@ -109,8 +128,18 @@ def main(argv=None):
         svg=SVGConfig(num_sampled_rows=args.num_sampled_rows, sparsity=args.sparsity),
         seed=args.seed,
     )
-    np.savez(args.output_path, latents=np.asarray(lat))
-    logger.info(f"saved latents {lat.shape} -> {args.output_path}")
+    if vae_decode is not None:
+        from sparse_videogen_tpu.pipelines.wan import export_video
+
+        video = vae_decode(lat)
+        out = args.output_path
+        if out.endswith(".npz"):
+            out = out[: -len(".npz")] + ".y4m"
+        export_video(video, out, fps=8)  # sample_image fps (cog/inference.py:23)
+        logger.info(f"saved video {video.shape} -> {out}")
+    else:
+        np.savez(args.output_path, latents=np.asarray(lat))
+        logger.info(f"saved latents {lat.shape} -> {args.output_path}")
 
 
 if __name__ == "__main__":

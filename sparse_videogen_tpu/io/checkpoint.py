@@ -894,3 +894,85 @@ def convert_llava(sd: dict, llama_cfg, vision_cfg, *, skip_layers: int = 2, dtyp
         },
         "llama": convert_llama(lm_sd, llama_cfg, skip_layers=skip_layers, dtype=dtype),
     }
+
+
+def cog_vae_config_from_json(path: str):
+    """CogVAEConfig from a diffusers AutoencoderKLCogVideoX config.json."""
+    from sparse_videogen_tpu.models.cog.vae import CogVAEConfig
+
+    cj = os.path.join(path, "config.json")
+    if not os.path.isfile(cj):
+        return None
+    with open(cj) as f:
+        c = json.load(f)
+    return CogVAEConfig(
+        in_channels=c.get("in_channels", 3),
+        out_channels=c.get("out_channels", 3),
+        block_out_channels=tuple(c.get("block_out_channels", (128, 256, 256, 512))),
+        layers_per_block=c.get("layers_per_block", 3),
+        latent_channels=c.get("latent_channels", 16),
+        norm_num_groups=c.get("norm_num_groups", 32),
+        scaling_factor=c.get("scaling_factor", 0.7),
+        invert_scale_latents=c.get("invert_scale_latents", False),
+        temporal_compression=c.get("temporal_compression_ratio", 4),
+    )
+
+
+def convert_cog_vae(sd: dict, cfg, dtype=jnp.float32):
+    """diffusers AutoencoderKLCogVideoX state dict -> models/cog/vae.py pytree.
+
+    Naming: CogVideoXCausalConv3d wraps its Conv3d as `.conv`; resnet
+    shortcuts are plain 1x1x1 Conv3d (`conv_shortcut.weight`, no wrapper);
+    decoder norms are CogVideoXSpatialNorm3D (`norm_layer` + causal 1x1x1
+    `conv_y`/`conv_b`); down/upsamplers hold per-frame Conv2d weights."""
+
+    def cconv(key):
+        return _conv3d(sd, f"{key}.conv", dtype)
+
+    def gnorm(key):
+        return {"g": jnp.asarray(sd[f"{key}.weight"], dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def snorm(key):
+        return {"norm": gnorm(f"{key}.norm_layer"),
+                "conv_y": cconv(f"{key}.conv_y"),
+                "conv_b": cconv(f"{key}.conv_b")}
+
+    def res(prefix, spatial):
+        norm = snorm if spatial else gnorm
+        p = {"norm1": norm(f"{prefix}.norm1"), "conv1": cconv(f"{prefix}.conv1"),
+             "norm2": norm(f"{prefix}.norm2"), "conv2": cconv(f"{prefix}.conv2")}
+        if f"{prefix}.conv_shortcut.weight" in sd:
+            p["shortcut"] = _conv3d(sd, f"{prefix}.conv_shortcut", dtype)
+        return p
+
+    down = []
+    for i in range(cfg.num_blocks):
+        blk = {"res": [res(f"encoder.down_blocks.{i}.resnets.{j}", False)
+                       for j in range(cfg.layers_per_block)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            blk["ds"] = {"conv": _conv2d(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv", dtype)}
+        down.append(blk)
+    up = []
+    for i in range(cfg.num_blocks):
+        blk = {"res": [res(f"decoder.up_blocks.{i}.resnets.{j}", True)
+                       for j in range(cfg.layers_per_block + 1)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            blk["us"] = {"conv": _conv2d(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv", dtype)}
+        up.append(blk)
+    return {
+        "encoder": {
+            "conv_in": cconv("encoder.conv_in"),
+            "down": down,
+            "mid": {"res": [res(f"encoder.mid_block.resnets.{j}", False) for j in range(2)]},
+            "norm_out": gnorm("encoder.norm_out"),
+            "conv_out": cconv("encoder.conv_out"),
+        },
+        "decoder": {
+            "conv_in": cconv("decoder.conv_in"),
+            "mid": {"res": [res(f"decoder.mid_block.resnets.{j}", True) for j in range(2)]},
+            "up": up,
+            "norm_out": snorm("decoder.norm_out"),
+            "conv_out": cconv("decoder.conv_out"),
+        },
+    }

@@ -367,14 +367,9 @@ def test_convert_cosmos_dit_structure():
     assert tree_shapes(params) == tree_shapes(ref)
 
 
-def test_convert_cog_dit_structure():
-    from sparse_videogen_tpu.models.cog import model as CM
-
-    cfg = CM.CogConfig(num_layers=2, hidden_size=64, heads_num=4, head_dim=16,
-                       text_len=10, text_dim=32, time_embed_dim=48,
-                       in_channels=32, ofs_embed=True)
-    ref = CM.init_cog_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    rng = np.random.default_rng(7)
+def make_sd_cog(cfg, seed=7):
+    """Synthetic diffusers CogVideoXTransformer3DModel state dict."""
+    rng = np.random.default_rng(seed)
     sd = {}
     h = cfg.hidden_size
 
@@ -388,8 +383,9 @@ def test_convert_cog_dit_structure():
 
     lin("time_embedding.linear_1", h, cfg.time_embed_dim)
     lin("time_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
-    lin("ofs_embedding.linear_1", cfg.time_embed_dim, cfg.time_embed_dim)
-    lin("ofs_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
+    if cfg.ofs_embed:
+        lin("ofs_embedding.linear_1", cfg.time_embed_dim, cfg.time_embed_dim)
+        lin("ofs_embedding.linear_2", cfg.time_embed_dim, cfg.time_embed_dim)
     lin("patch_embed.proj",
         cfg.in_channels * cfg.patch_size_t * cfg.patch_size**2, h)
     lin("patch_embed.text_proj", cfg.text_dim, h)
@@ -409,6 +405,80 @@ def test_convert_cog_dit_structure():
     ln("norm_out.norm", h)
     lin("norm_out.linear", cfg.time_embed_dim, 2 * h)
     lin("proj_out", h, cfg.patch_size_t * cfg.patch_size**2 * cfg.out_channels)
+    return sd
 
-    params = CK.convert_cog_dit(sd, cfg, dtype=jnp.float32)
+
+def test_convert_cog_dit_structure():
+    from sparse_videogen_tpu.models.cog import model as CM
+
+    cfg = CM.CogConfig(num_layers=2, hidden_size=64, heads_num=4, head_dim=16,
+                       text_len=10, text_dim=32, time_embed_dim=48,
+                       in_channels=32, ofs_embed=True)
+    ref = CM.init_cog_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = CK.convert_cog_dit(make_sd_cog(cfg), cfg, dtype=jnp.float32)
+    assert tree_shapes(params) == tree_shapes(ref)
+
+
+def make_sd_cog_vae(cfg, seed=5):
+    """Synthetic diffusers AutoencoderKLCogVideoX state dict."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def c3(key, co, ci, k=3):
+        sd[f"{key}.weight"] = rng.standard_normal((co, ci, k, k, k)).astype(np.float32)
+        sd[f"{key}.bias"] = np.zeros(co, np.float32)
+
+    def c2(key, co, ci):
+        sd[f"{key}.weight"] = rng.standard_normal((co, ci, 3, 3)).astype(np.float32)
+        sd[f"{key}.bias"] = np.zeros(co, np.float32)
+
+    def gn(key, c):
+        sd[f"{key}.weight"] = np.ones(c, np.float32)
+        sd[f"{key}.bias"] = np.zeros(c, np.float32)
+
+    def sn(key, c):
+        gn(f"{key}.norm_layer", c)
+        c3(f"{key}.conv_y.conv", c, cfg.latent_channels, 1)
+        c3(f"{key}.conv_b.conv", c, cfg.latent_channels, 1)
+
+    def res(prefix, ci, co, spatial):
+        norm = sn if spatial else gn
+        norm(f"{prefix}.norm1", ci); c3(f"{prefix}.conv1.conv", co, ci)
+        norm(f"{prefix}.norm2", co); c3(f"{prefix}.conv2.conv", co, co)
+        if ci != co:
+            c3(f"{prefix}.conv_shortcut", co, ci, 1)
+
+    bo = cfg.block_out_channels
+    c3("encoder.conv_in.conv", bo[0], 3)
+    ch = bo[0]
+    for i in range(4):
+        res(f"encoder.down_blocks.{i}.resnets.0", ch, bo[i], False)
+        ch = bo[i]
+        if cfg.resample_spatial(i):
+            c2(f"encoder.down_blocks.{i}.downsamplers.0.conv", bo[i], bo[i])
+    for j in range(2):
+        res(f"encoder.mid_block.resnets.{j}", bo[-1], bo[-1], False)
+    gn("encoder.norm_out", bo[-1]); c3("encoder.conv_out.conv", 2 * cfg.latent_channels, bo[-1])
+    rev = list(reversed(bo))
+    c3("decoder.conv_in.conv", rev[0], cfg.latent_channels)
+    for j in range(2):
+        res(f"decoder.mid_block.resnets.{j}", rev[0], rev[0], True)
+    ch = rev[0]
+    for i in range(4):
+        for j in range(cfg.layers_per_block + 1):
+            res(f"decoder.up_blocks.{i}.resnets.{j}", ch if j == 0 else rev[i], rev[i], True)
+        ch = rev[i]
+        if cfg.resample_spatial(i):
+            c2(f"decoder.up_blocks.{i}.upsamplers.0.conv", rev[i], rev[i])
+    sn("decoder.norm_out", bo[0]); c3("decoder.conv_out.conv", 3, bo[0])
+    return sd
+
+
+def test_convert_cog_vae_structure():
+    from sparse_videogen_tpu.models.cog import vae as CV
+
+    cfg = CV.CogVAEConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                          latent_channels=4, norm_num_groups=4)
+    ref = CV.init_cog_vae_params(jax.random.PRNGKey(0), cfg)
+    params = CK.convert_cog_vae(make_sd_cog_vae(cfg), cfg)
     assert tree_shapes(params) == tree_shapes(ref)
