@@ -357,12 +357,8 @@ def _runs_kernel(
     meta_hbm,  # HBM (R, nQ8, L) int32: [n_chunks, a0, b0, a1, b1, ...]
     q_ref,
     kv_ref,
-    o_ref,
-    meta_ref,
-    kvbuf,
-    meta_sem,
-    kv_sems,
-    *,
+    # outputs (o; optionally m, l softmax stats for ring combination)
+    *refs,
     block_q: int,
     block_kv: int,
     head_dim: int,
@@ -371,7 +367,12 @@ def _runs_kernel(
     meta_rows: int,
     nbuf: int,
     nsub: int,
+    return_stats: bool = False,
 ):
+    if return_stats:
+        o_ref, m_ref, l_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
+    else:
+        o_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
     b = pl.program_id(0)
     i = pl.program_id(1)
     b_meta = 0 if meta_rows == 1 else b
@@ -488,11 +489,14 @@ def _runs_kernel(
     z = jnp.int32(0)
     acc, m, l, *_ = jax.lax.fori_loop(0, n, body, (acc0, m0, l0, z, z, rp, kp))
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    if return_stats:
+        m_ref[0] = m.reshape(block_q // 128, 128)
+        l_ref[0] = l.reshape(block_q // 128, 128)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret", "return_stats"),
 )
 def block_sparse_attention_runs(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -506,6 +510,7 @@ def block_sparse_attention_runs(
     scale: float | None = None,
     nbuf: int = 3,
     interpret: bool | None = None,
+    return_stats: bool = False,
 ):
     """Block-sparse flash attention over run-list metadata (see run_meta_jnp)."""
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
@@ -541,9 +546,20 @@ def block_sparse_attention_runs(
         meta_rows=R,
         nbuf=nbuf,
         nsub=Skv // SUB,
+        return_stats=return_stats,
     )
 
-    return pl.pallas_call(
+    out_specs = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((BH, Sq, D), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec(
+            (1, block_q // 128, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        )
+        stat_shape = jax.ShapeDtypeStruct((BH, Sq // 128, 128), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+
+    res = pl.pallas_call(
         kernel,
         grid=(BH, nQ),
         in_specs=[
@@ -552,10 +568,8 @@ def block_sparse_attention_runs(
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, row_pad), jnp.int32),
             pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
@@ -567,6 +581,10 @@ def block_sparse_attention_runs(
         ),
         interpret=interpret,
     )(aux, meta, q, kv)
+    if return_stats:
+        o, m, l = res
+        return o, m.reshape(BH, Sq), l.reshape(BH, Sq)
+    return res
 
 
 def block_sparse_attention(q, k, v, meta, aux=None, **kw):
