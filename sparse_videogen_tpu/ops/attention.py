@@ -434,6 +434,10 @@ def _runs_kernel(
 
         rp, kp = advance(rp, kp)
 
+    # scale folded into q once per grid step (saves a (block_q, block_kv)
+    # f32 multiply per chunk)
+    q_s = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+
     def body(j, carry):
         acc, m, l, rc, kc, rp, kp = carry
         slot = j % nbuf
@@ -450,28 +454,35 @@ def _runs_kernel(
         kv_copy(slot, idx).wait()
         k_blk = kvbuf[slot][:, :D]
         v_blk = kvbuf[slot][:, D:]
-        q = q_ref[0]
 
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_s, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * scale
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-        allowed = (col >= lo) & (col < hi)
         if mask_spec.kind != "none":
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            allowed = (col >= lo) & (col < hi)
             qpos = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
             )
             kpos = idx * SUB + col
             allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
-        s = jnp.where(allowed, s, NEG_INF)
+            s = jnp.where(allowed, s, NEG_INF)
+        else:
+            # [lo, hi) is row-independent: mask via a broadcast column bias
+            # (8, block_kv) instead of full-tile iota/compare/select (the
+            # chunked kernel's mask_spec="none" fast path; runs are non-empty
+            # so every row sees >= 1 live column per chunk)
+            colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
+            bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
+            s = s + bias[:1]
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
-        p = jnp.where(allowed, p, 0.0)
+        if mask_spec.kind != "none":
+            p = jnp.where(allowed, p, 0.0)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_blk.dtype),
@@ -488,7 +499,12 @@ def _runs_kernel(
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     z = jnp.int32(0)
     acc, m, l, *_ = jax.lax.fori_loop(0, n, body, (acc0, m0, l0, z, z, rp, kp))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    o = acc / jnp.maximum(l, 1e-20)
+    if mask_spec.kind == "none":
+        # bias-path safety: rows that saw no chunk at all (n == 0) keep
+        # m == NEG_INF -> zero them (matches the chunked kernel)
+        o = jnp.where(m > 0.5 * NEG_INF, o, 0.0)
+    o_ref[0] = o.astype(o_ref.dtype)
     if return_stats:
         m_ref[0] = m.reshape(block_q // 128, 128)
         l_ref[0] = l.reshape(block_q // 128, 128)

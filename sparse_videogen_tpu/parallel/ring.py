@@ -68,6 +68,7 @@ def ring_attention(
     meta_all,  # (n, n, nQ_loc, L) int32 from ring_meta (replicated)
     *,
     axis: str = "sp",
+    head_axis: str | None = None,
     mask_spec: MaskSpec = MaskSpec(),
     aux01=(0, 0),  # aux[0], aux[1] (mask scalars, e.g. hyvideo real length)
     block_q: int = 512,
@@ -75,7 +76,15 @@ def ring_attention(
     scale: float | None = None,
     interpret: bool | None = None,
 ):
-    """Exact (block-)sparse attention with sequence sharded over `axis`."""
+    """Exact (block-)sparse attention with sequence sharded over `axis`.
+
+    head_axis: additionally shard the head dim over a second mesh axis —
+    the USP hybrid (Ulysses heads x ring sequence), the TPU analog of
+    xfuser's xFuserLongContextAttention (xdit_context_parallel.py:161,
+    hyvideo_orig config ulysses-degree x ring-degree). Per-head masks are
+    head-local, so the composition needs no extra communication: the ring
+    rotates each head-group's KV shard independently.
+    """
     n = mesh.shape[axis]
     B, H, S, D = q.shape
     Sl = S // n
@@ -121,11 +130,12 @@ def ring_attention(
 
     from jax.experimental.shard_map import shard_map
 
+    qkv_spec = P(None, head_axis, axis, None)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, None, axis, None),) * 3 + (P(),),
-        out_specs=P(None, None, axis, None),
+        in_specs=(qkv_spec,) * 3 + (P(),),
+        out_specs=qkv_spec,
         check_rep=False,
     )
     return fn(q, k, v, meta_all)

@@ -53,13 +53,20 @@ def sap_ring_attention(
     mesh,
     *,
     axis: str = "sp",
+    head_axis: str | None = None,
     layout: VideoLayout,
     cfg: SAPConfig,
     interpret: bool | None = None,
 ):
     """SAP sparse attention with the token axis sharded over `axis`.
 
-    Returns (out (B, H, S, D) sharded like q, new SAPState (replicated)).
+    head_axis: additionally shard heads over a second mesh axis (USP hybrid,
+    Ulysses x ring). Clustering, dynamic maps, and permutations are
+    head-local, so the head split needs no extra communication; the k-means
+    psums stay on the ring axis only.
+
+    Returns (out (B, H, S, D) sharded like q, new SAPState (replicated over
+    the ring axis, head-sharded over head_axis)).
     Text-last layouts are not supported here (the reference limits SAP+SP
     the same way — it never combines them at all).
     """
@@ -77,6 +84,9 @@ def sap_ring_attention(
         my = jax.lax.axis_index(axis)
         Bl, Hl = q.shape[0], q.shape[1]
         BH = Bl * Hl
+        # centroid carries arrive (B, H_local, C, D); flatten to match q/k
+        qc_state = qc_state.reshape(BH, *qc_state.shape[2:])
+        kc_state = kc_state.reshape(BH, *kc_state.shape[2:])
         qf = q.reshape(BH, Sl, D)
         kf = k.reshape(BH, Sl, D)
         vf = v.reshape(BH, Sl, D)
@@ -171,16 +181,28 @@ def sap_ring_attention(
 
         out_pad = (acc / jnp.maximum(l, 1e-20)[..., None]).astype(q.dtype)
         out = core_permute.ungather_padded(out_pad, qmaps["pos"]).reshape(Bl, Hl, Sl, D)
-        return out, qcent.astype(qc_state.dtype), kcent.astype(kc_state.dtype)
+        return (
+            out,
+            qcent.astype(state.q_centroids.dtype).reshape(Bl, Hl, *qcent.shape[1:]),
+            kcent.astype(state.k_centroids.dtype).reshape(Bl, Hl, *kcent.shape[1:]),
+        )
 
     from jax.experimental.shard_map import shard_map
 
+    qkv_spec = P(None, head_axis, axis, None)
+    cent_spec = P(None, head_axis)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, None, axis, None),) * 3 + (P(), P(), P()),
-        out_specs=(P(None, None, axis, None), P(), P()),
+        in_specs=(qkv_spec,) * 3 + (cent_spec, cent_spec, P()),
+        out_specs=(qkv_spec, cent_spec, cent_spec),
         check_rep=False,
     )
-    out, qcent, kcent = fn(q, k, v, state.q_centroids, state.k_centroids, state.initialized)
-    return out, SAPState(qcent, kcent, jnp.ones((), bool))
+    qc_bh = state.q_centroids.reshape(B, H, *state.q_centroids.shape[1:])
+    kc_bh = state.k_centroids.reshape(B, H, *state.k_centroids.shape[1:])
+    out, qcent, kcent = fn(q, k, v, qc_bh, kc_bh, state.initialized)
+    return out, SAPState(
+        qcent.reshape(B * H, *qcent.shape[2:]),
+        kcent.reshape(B * H, *kcent.shape[2:]),
+        jnp.ones((), bool),
+    )

@@ -84,3 +84,34 @@ def test_ring_composes_with_dp_axis():
     out = ring_attention(q, k, v, mesh, meta_all, block_q=512, block_kv=512)
     ref = masked_attention(q, k, v, jnp.ones((S, S), bool))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_usp_ring_band_matches_single_device():
+    """USP hybrid (head_axis): Ulysses-sharded heads x ring-sharded sequence
+    with SVG1 band+sink masks — xFuserLongContextAttention analog."""
+    from jax.sharding import Mesh
+
+    B, H, S, D = 1, 4, 1024, 32
+    rng = np.random.default_rng(7)
+    q, k, v = _qkv(rng, B, H, S, D)
+    spec = MaskSpec(kind="band_sink", band_width=257, sink_size=128)
+    qpos = np.arange(S)[:, None]
+    kpos = np.arange(S)[None, :]
+    from sparse_videogen_tpu.ops.mask_spec import apply_mask_spec
+
+    mask = np.asarray(apply_mask_spec(spec, jnp.asarray(qpos), jnp.asarray(kpos), jnp.zeros(4, jnp.int32)))
+    ref = masked_attention(
+        q.reshape(B * H, S, D), k.reshape(B * H, S, D), v.reshape(B * H, S, D),
+        jnp.asarray(np.broadcast_to(mask, (B * H, S, S))),
+    ).reshape(B, H, S, D)
+
+    n = 4
+    bm = np.ones((S // 128, S // 128), bool)
+    meta_all = jnp.asarray(ring_meta(bm, MD.kv_counts_for_seq(S)[0], n, block_kv=128))
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("ulysses", "ring"))
+    out = ring_attention(
+        q, k, v, mesh, meta_all, axis="ring", head_axis="ulysses",
+        mask_spec=spec, block_q=128, block_kv=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3)

@@ -90,3 +90,22 @@ def test_ring_sap_cold_init_runs():
     assert np.isfinite(o).all()
     assert np.abs(o).max() <= np.abs(np.asarray(v)).max() + 1e-4
     assert bool(new_state.initialized)
+
+
+def test_usp_ring_sap_matches_single_device():
+    """USP hybrid: heads sharded over 'ulysses' x sequence over 'ring'
+    (xfuser's ulysses_degree x ring_degree composition, here with SAP)."""
+    from jax.sharding import Mesh
+
+    q, k, v, state = _data()
+    rng = jax.random.PRNGKey(3)
+    ref, _ = sap_sparse_attention(q, k, v, state, rng, layout=LAYOUT, cfg=CFG, interpret=True)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("ulysses", "ring"))
+    out, new_state = sap_ring_attention(
+        q, k, v, state, rng, mesh, axis="ring", head_axis="ulysses",
+        layout=LAYOUT, cfg=CFG, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3)
+    assert new_state.q_centroids.shape == state.q_centroids.shape
