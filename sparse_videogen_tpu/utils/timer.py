@@ -79,3 +79,27 @@ def print_operator_log_data(clear: bool | None = None):
 
 def get_log():
     return dict(_LOG), dict(_COUNT)
+
+
+@contextmanager
+def profiler_trace(logdir: str = "/tmp/svt_trace", *, host: bool = False):
+    """Capture a jax.profiler device trace (TensorBoard/XProf format).
+
+    The intra-program companion to the label timer above (SURVEY section 5:
+    the reference's CUDA-event hierarchy maps to jax.profiler traces +
+    jax.named_scope on TPU — kernel-level times live in the trace, not in
+    host wall-clock labels)."""
+    import jax
+
+    jax.profiler.start_trace(logdir, create_perfetto_link=False, create_perfetto_trace=host)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def named_scope(name: str):
+    """Annotation scope visible in profiler traces (jax.named_scope)."""
+    import jax
+
+    return jax.named_scope(name)

@@ -195,3 +195,15 @@ def test_prompt_expander_local_backend():
 
     out3 = LocalLLMPromptExpander(broken)("a cat", tar_lang="en")
     assert not out3.status and out3.prompt == "a cat" and "backend down" in out3.message
+
+
+def test_profiler_trace(tmp_path):
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    with T.profiler_trace(str(tmp_path)):
+        with T.named_scope("probe"):
+            jnp.ones((8, 8)).sum().block_until_ready()
+    assert glob.glob(os.path.join(str(tmp_path), "**", "*.xplane.pb"), recursive=True)
