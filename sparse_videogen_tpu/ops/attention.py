@@ -30,8 +30,12 @@ next reader doesn't retry them: a 2-stream split unroll (independent online-
 softmax accumulators merged at the end, `unroll=2`) LOSES ~4% — the kernel
 is not VPU-latency-bound; replacing full-tile iota/compare/select masking
 with a broadcast column-bias add (kept, mask_spec="none" path) gains only
-~2% — not VPU-throughput-bound either. The limiter is the D=128-contraction
-MXU shape itself.
+~2% on the DENSE path — not VPU-throughput-bound either. The limiter there
+is the D=128-contraction MXU shape itself. For masked (band-style) paths the
+predicate IS significant at small sparsity: interior chunks are proven fully
+allowed with scalar interval math (mask_spec.full_block_allowed) and take
+the cheap bias path via an in-kernel lax.cond; only boundary chunks pay the
+full-tile predicate.
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec
+from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec, full_block_allowed
 from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE, SUB
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -143,34 +147,47 @@ def _kernel(
             q_s, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-        if mask_spec.kind != "none":
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            allowed = (col >= lo) & (col < hi)
-            qpos = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
-            kpos = idx * SUB + col
-            allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
-            s = jnp.where(allowed, s, NEG_INF)
-        else:
+        def bias_s(s):
             # window masking via a broadcast additive bias over columns only
             # (8, block_kv) instead of full-tile iota/compare/select — the
             # VPU work per chunk drops from ~5 full passes to 1. Masked
-            # columns end at ~NEG_INF, so p underflows to exactly 0 whenever
-            # the row has any live column; rows with NO live column anywhere
-            # keep m == NEG_INF and are zeroed after the loop.
+            # columns end at ~NEG_INF so p underflows to exactly 0 (the
+            # m_safe exponent below covers rows with no live column yet).
             colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
             bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
-            s = s + bias[:1]
+            return s + bias[:1]
+
+        if mask_spec.kind != "none":
+
+            def masked_s(s):
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                allowed = (col >= lo) & (col < hi)
+                qpos = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0
+                )
+                kpos = idx * SUB + col
+                allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
+                return jnp.where(allowed, s, NEG_INF)
+
+            # interior chunks of band-style masks are fully allowed: prove it
+            # with scalar interval math and skip the full-tile predicate
+            # (boundary chunks take the exact path; conservative check)
+            full = full_block_allowed(
+                mask_spec, i * block_q, i * block_q + block_q - 1,
+                idx * SUB + lo, idx * SUB + hi - 1, aux_ref,
+            )
+            s = jax.lax.cond(full, bias_s, masked_s, s)
+        else:
+            s = bias_s(s)
 
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        if mask_spec.kind != "none":
-            # rows fully masked within this chunk: s == m_new == NEG_INF ->
-            # p = 1; kill explicitly so they contribute nothing.
-            p = jnp.where(allowed, p, 0.0)
+        # rows with every column masked so far have m_new ~ NEG_INF; exponent
+        # against 0 instead so their p underflows to exactly 0 (no p-kill
+        # pass needed in either branch)
+        m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+        p = jnp.exp(s - m_safe)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v_blk.dtype),
@@ -234,11 +251,9 @@ def _kernel(
             l = l * a0 + l2 * a1
             m = m_new
 
+    # rows that never saw a live column have acc == 0 and l == 0 -> output 0
+    # (the m_safe exponent guarantees p == 0 for them in every chunk)
     o = acc / jnp.maximum(l, 1e-20)
-    if mask_spec.kind == "none":
-        # bias-path safety: a row that never saw a live column keeps
-        # m ~ NEG_INF (its p's were washed out by alpha=0 merges) -> 0
-        o = jnp.where(m > 0.5 * NEG_INF, o, 0.0)
     o_ref[0] = o.astype(o_ref.dtype)
     if return_stats:
         m_ref[0] = m.reshape(block_q // 128, 128)
@@ -273,6 +288,8 @@ def block_sparse_attention_kv(
     nQ = Sq // block_q
     R = meta.shape[0]
     assert meta.shape[1] == nQ and R in (1, BH), (meta.shape, BH, nQ)
+    from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE as _ES
+    assert block_kv < _ES, (block_kv, _ES)  # window packing round-trip
     # pad metadata rows (HBM (8,128) int32 tiling needs row groups of 8 and
     # 128-multiple row length)
     row_len = meta.shape[-1]

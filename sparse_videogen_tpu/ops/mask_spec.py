@@ -64,3 +64,33 @@ def apply_mask_spec(spec: MaskSpec, qpos, kpos, aux):
         text_row = (qpos >= vid) & (qpos < real)
         return (real_pair & (band | text_col | text_row)) | fake_pair
     raise ValueError(f"unknown mask kind {spec.kind}")
+
+
+def full_block_allowed(spec: MaskSpec, q0, q1, k0, k1, aux):
+    """Conservative scalar test: does EVERY (q, k) pair in the inclusive
+    rectangle [q0, q1] x [k0, k1] attend under `spec`?
+
+    Used by the kernel to skip the full-tile predicate on interior chunks of
+    band-style masks (most visited chunks are fully inside the band), falling
+    back to the exact elementwise path on boundary chunks. False negatives
+    only cost speed, never correctness."""
+    if aux is not None:
+        q0 = q0 + aux[2]
+        q1 = q1 + aux[2]
+        k0 = k0 + aux[3]
+        k1 = k1 + aux[3]
+    band_all = (q1 - k0 < spec.band_width) & (k1 - q0 < spec.band_width)
+    if spec.kind == "band_sink":
+        return band_all | (k1 < spec.sink_size)
+    if spec.kind == "cog":
+        plen = aux[0]
+        return band_all | (k1 < plen) | (q1 < plen)
+    if spec.kind == "hyvideo":
+        real = aux[0]
+        vid = spec.video_len
+        real_all = (q1 < real) & (k1 < real)
+        fake_all = (q0 >= real) & (k0 >= real)
+        text_col_all = (k0 >= vid) & (k1 < real)
+        text_row_all = (q0 >= vid) & (q1 < real)
+        return (real_all & (band_all | text_col_all | text_row_all)) | fake_all
+    raise ValueError(f"unknown mask kind {spec.kind}")

@@ -5,7 +5,9 @@ The kernel consumes, per (row r, q-block i), an int32 vector
 where each entry describes one KV *chunk*:
   - idx: start of the chunk in 128-token sub-blocks (chunks may start at any
     128-aligned offset; the DMA size is the static block_kv).
-  - win = lo * 1024 + hi: allowed columns are [lo, hi) within the chunk
+  - win = lo * ENTRY_SCALE + hi: allowed columns are [lo, hi) within the
+    chunk (ENTRY_SCALE must exceed the largest block_kv so a full chunk's
+    hi == block_kv survives the pack/unpack round trip)
     (everything outside is masked to -inf). This encodes sequence-tail
     padding, SAP cluster padding, and array-end DMA shifts exactly.
 
@@ -32,7 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 SUB = 128  # sub-block granularity (alignment of chunk starts)
-ENTRY_SCALE = 1024
+# must be > max block_kv: hi can equal block_kv (full chunk) and must
+# round-trip through lo * ENTRY_SCALE + hi. 1024 silently corrupted full
+# chunks at block_kv=1024 (win=1024 decoded as lo=1, hi=0 -> empty window).
+ENTRY_SCALE = 2048
 ENTRY_STRIDE = 2
 
 
@@ -50,12 +55,13 @@ def chunk_meta_np(mask: np.ndarray, counts: np.ndarray, *, block_kv: int, cap: i
     Args:
       mask: (R, nQ, nsub) bool over 128-token sub-blocks.
       counts: (R, nsub) int32 valid tokens per sub-block (0..128).
-      block_kv: chunk size in tokens (multiple of 128, <= 512).
+      block_kv: chunk size in tokens (multiple of 128, < ENTRY_SCALE).
       cap: max entries per row (default: exact worst case of this mask).
 
     Returns meta (R, nQ, 1 + 2*cap) int32.
     """
     R, nQ, nsub = mask.shape
+    assert block_kv < ENTRY_SCALE, (block_kv, ENTRY_SCALE)
     C = block_kv // SUB
     rows = []
     max_n = 0

@@ -158,3 +158,50 @@ def test_scattered_singleton_runs():
         tok[sb * 128 : sb * 128 + counts[0, sb]] = True
     ref = np.asarray(masked_attention(q, k, v, jnp.asarray(tok[None, None, :])))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_full_window_roundtrip_block_kv_1024():
+    """Regression: ENTRY_SCALE must round-trip hi == block_kv == 1024.
+
+    With ENTRY_SCALE=1024, pack_window(lo, 1024) aliased to (lo+1, 0) — an
+    empty window — silently zeroing every FULL chunk's contribution at the
+    production block_kv=1024 default (boundary/partial chunks survived, so
+    small-block tests never caught it). Checked here against an oracle that
+    does NOT share the packing (a dense predicate mask built from positions).
+    """
+    from sparse_videogen_tpu.config import SVGConfig, VideoLayout
+    from sparse_videogen_tpu.ops.mask_spec import apply_mask_spec
+    from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE, pack_window
+    from sparse_videogen_tpu.sparse import svg1 as S1
+
+    assert ENTRY_SCALE > 1024
+    win = pack_window(3, 1024)
+    assert (win // ENTRY_SCALE, win % ENTRY_SCALE) == (3, 1024)
+
+    B, H, S, D = 1, 1, 2048, 64
+    layout = VideoLayout(num_frames=8, frame_size=256)
+    plan = S1.make_svg1_plan(layout, SVGConfig(sparsity=0.3))
+    assert plan.block_kv == 1024  # the config this regression is about
+    spec = plan.mask_spec
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    out = np.asarray(S1._run_kernel(q, k, v, plan.sparse_meta(), plan, spec, True), np.float64)
+
+    qpos = np.arange(S)[:, None]
+    kpos = np.arange(S)[None, :]
+    mask = np.asarray(apply_mask_spec(spec, jnp.asarray(qpos), jnp.asarray(kpos), jnp.zeros(4, jnp.int32)))
+    qf, kf, vf = (np.asarray(a, np.float64).reshape(S, D) for a in (q, k, v))
+    s = np.where(mask, qf @ kf.T / np.sqrt(D), -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = p @ vf
+    np.testing.assert_allclose(out[0, 0], want, atol=2e-5, rtol=2e-4)
+
+    # dense through the same kernel at block_kv=1024 vs plain softmax
+    outd = np.asarray(S1.dense_attention_kernel(q, k, v, plan, interpret=True), np.float64)
+    sd = qf @ kf.T / np.sqrt(D)
+    pd = np.exp(sd - sd.max(-1, keepdims=True))
+    pd /= pd.sum(-1, keepdims=True)
+    np.testing.assert_allclose(outd[0, 0], pd @ vf, atol=2e-5, rtol=2e-4)
