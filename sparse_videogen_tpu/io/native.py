@@ -94,5 +94,55 @@ def write_y4m(path: str, video: np.ndarray, fps: int = 16) -> None:
             f.write(np.clip(v[t], 0, 255).astype(np.uint8).tobytes())
 
 
+def read_y4m(path: str) -> tuple[np.ndarray, int]:
+    """.y4m -> ((T, H, W, 3) uint8 RGB, fps). Inverse of write_y4m's
+    C420jpeg layout (nearest-upsampled chroma, BT.601 full range)."""
+    with open(path, "rb") as f:
+        header = f.readline().decode()
+        assert header.startswith("YUV4MPEG2"), header
+        W = H = fps = 0
+        for tok in header.split()[1:]:
+            if tok[0] == "W":
+                W = int(tok[1:])
+            elif tok[0] == "H":
+                H = int(tok[1:])
+            elif tok[0] == "F":
+                fps = int(tok[1:].split(":")[0])
+        frames = []
+        ysz, csz = H * W, (H // 2) * (W // 2)
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            assert line.startswith(b"FRAME"), line
+            y = np.frombuffer(f.read(ysz), np.uint8).reshape(H, W).astype(np.float32)
+            u = np.frombuffer(f.read(csz), np.uint8).reshape(H // 2, W // 2).astype(np.float32)
+            v = np.frombuffer(f.read(csz), np.uint8).reshape(H // 2, W // 2).astype(np.float32)
+            u = np.repeat(np.repeat(u, 2, 0), 2, 1) - 128.0
+            v = np.repeat(np.repeat(v, 2, 0), 2, 1) - 128.0
+            r = y + 1.402 * v
+            g = y - 0.344136 * u - 0.714136 * v
+            b = y + 1.772 * u
+            frames.append(np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8))
+    return np.stack(frames), fps
+
+
+def load_video(path: str) -> np.ndarray:
+    """.y4m or .npz/.npy -> (T, H, W, 3) float32 in [0, 1]."""
+    if path.endswith(".y4m"):
+        return read_y4m(path)[0].astype(np.float32) / 255.0
+    arr = np.load(path)
+    if hasattr(arr, "files"):
+        arr = arr[arr.files[0]]
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 5:
+        arr = arr[0]
+    if arr.shape[0] == 3 and arr.shape[-1] != 3:  # (3, T, H, W) -> (T, H, W, 3)
+        arr = np.transpose(arr, (1, 2, 3, 0))
+    if arr.min() < -0.01:  # [-1, 1] -> [0, 1]
+        arr = (arr + 1.0) / 2.0
+    return np.clip(arr, 0.0, 1.0)
+
+
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "build":
     print("built:", build())

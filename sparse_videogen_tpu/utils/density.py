@@ -40,3 +40,19 @@ def mean_density(path: str) -> float:
         for line in f:
             vals.append(json.loads(line)["avg_density"])
     return float(np.mean(vals)) if vals else float("nan")
+
+
+def densities_mean(dir_path: str) -> float:
+    """Mean density over every JSONL in a directory (the reference's
+    svg/utils/densities_get_mean.py)."""
+    import glob
+    import os
+
+    vals = [mean_density(p) for p in sorted(glob.glob(os.path.join(dir_path, "*.jsonl")))]
+    return float(sum(vals) / len(vals)) if vals else 0.0
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(densities_mean(sys.argv[1]))

@@ -74,3 +74,66 @@ def write_jsonl(path: str, frames, mean):
         for fr in frames:
             f.write(json.dumps(fr) + "\n")
         f.write(json.dumps({"mean": mean}) + "\n")
+
+
+def metrics_mean(dir_path: str) -> dict:
+    """Mean of per-video metric JSONLs in a directory (the reference's
+    svg/utils/metrics_get_mean.py over metric.py outputs)."""
+    import glob
+    import os
+
+    means = []
+    for p in sorted(glob.glob(os.path.join(dir_path, "*.jsonl"))):
+        with open(p) as f:
+            for line in f:
+                d = json.loads(line)
+                if "mean" in d:
+                    means.append(d["mean"])
+    if not means:
+        return {}
+    keys = means[0].keys()
+    return {k: float(np.mean([m[k] for m in means])) for k in keys}
+
+
+def main(argv=None):
+    """CLI: compare two videos (.y4m or .npz/.npy), print + optionally write
+    JSONL — the svg/utils/metric.py entry surface. With one directory
+    argument, aggregate means instead (metrics_get_mean.py surface)."""
+    import argparse
+    import os
+
+    from sparse_videogen_tpu.io.native import load_video
+
+    p = argparse.ArgumentParser("metric")
+    p.add_argument("video_a")
+    p.add_argument("video_b", nargs="?", default=None)
+    p.add_argument("--output_jsonl", default=None)
+    args = p.parse_args(argv)
+
+    if args.video_b is None:
+        assert os.path.isdir(args.video_a), "single arg must be a JSONL dir"
+        print(json.dumps(metrics_mean(args.video_a)))
+        return
+
+    a = load_video(args.video_a)
+    b = load_video(args.video_b)
+    t = min(a.shape[0], b.shape[0])
+    frames, mean = video_metrics(a[:t], b[:t])
+    try:  # optional LPIPS, as in the reference
+        import lpips  # noqa: F401
+        import torch
+
+        net = lpips.LPIPS(net="alex")
+        ta = torch.tensor(a[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
+        tb = torch.tensor(b[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
+        with torch.no_grad():
+            mean["lpips"] = float(net(ta, tb).mean())
+    except ImportError:
+        pass
+    print(json.dumps({"mean": mean}))
+    if args.output_jsonl:
+        write_jsonl(args.output_jsonl, frames, mean)
+
+
+if __name__ == "__main__":
+    main()

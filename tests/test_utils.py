@@ -207,3 +207,35 @@ def test_profiler_trace(tmp_path):
         with T.named_scope("probe"):
             jnp.ones((8, 8)).sum().block_until_ready()
     assert glob.glob(os.path.join(str(tmp_path), "**", "*.xplane.pb"), recursive=True)
+
+
+def test_y4m_roundtrip_and_metric_cli(tmp_path, capsys):
+    import json
+
+    from sparse_videogen_tpu.io.native import load_video, read_y4m, write_y4m
+    from sparse_videogen_tpu.utils import metric as M
+
+    rng = np.random.default_rng(0)
+    # smooth gradients: 4:2:0 chroma subsampling is near-lossless there
+    t, yy, xx = np.meshgrid(np.arange(3), np.arange(16), np.arange(24), indexing="ij")
+    vid = np.stack([yy * 8 + t * 20, xx * 6, 255 - yy * 7], -1).astype(np.uint8)
+    p1 = str(tmp_path / "a.y4m")
+    write_y4m(p1, vid, fps=8)
+    back, fps = read_y4m(p1)
+    assert fps == 8 and back.shape == vid.shape
+    assert np.abs(back.astype(int) - vid.astype(int)).mean() < 4
+
+    v2 = np.clip(vid.astype(np.float32) / 255.0 + 0.01 * rng.standard_normal(vid.shape), 0, 1)
+    p2 = str(tmp_path / "b.npy")
+    np.save(p2, v2.astype(np.float32))
+    out_jsonl = str(tmp_path / "m.jsonl")
+    M.main([p1, p2, "--output_jsonl", out_jsonl])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["mean"]["psnr"] > 20
+
+    # aggregation surface
+    mean = M.metrics_mean(str(tmp_path))
+    assert abs(mean["psnr"] - got["mean"]["psnr"]) < 1e-9
+
+    from sparse_videogen_tpu.utils.density import densities_mean
+    assert densities_mean(str(tmp_path / "empty-nowhere")) == 0.0
