@@ -194,3 +194,44 @@ def execution_mask_block(
 
 def dense_mask_block(seq_q: int, seq_kv: int, *, block_q: int = 128, block_kv: int = 128) -> np.ndarray:
     return np.ones((-(-seq_q // block_q), -(-seq_kv // block_kv)), dtype=bool)
+
+
+def execution_mask_block_perm(
+    layout: VideoLayout,
+    multiplier: float,
+    *,
+    block_q: int = 128,
+    block_kv: int = 128,
+    round_mode: str = "ceil",
+) -> np.ndarray:
+    """Block skeleton of the TEMPORAL band+sink mask in ORIGINAL token order
+    (placement-free SVG1): the band |p(q) - p(k)| <= W with permuted
+    positions p(x) = (x % fs) * F + x // fs, sink p(k) < fs.
+
+    Exact block-level any() computed per q block (the p-sets are not
+    intervals, so no closed form; one-time numpy cost, cached by the plan).
+    Video-only layouts (wan/cosmos)."""
+    seq = layout.video_length
+    fs = layout.frame_size
+    F = layout.num_frames
+    if round_mode == "ceil":
+        w = math.ceil(multiplier * fs / 128) * 128
+        le = True
+    else:
+        w = math.floor(multiplier * fs / 128) * 128
+        le = False
+    x = np.arange(seq)
+    p = (x % fs) * F + x // fs
+    sink = p < fs  # (seq,) kv tokens always attended
+    n_q = -(-seq // block_q)
+    n_k = -(-seq // block_kv)
+    out = np.zeros((n_q, n_k), bool)
+    for b in range(n_q):
+        pq = p[b * block_q : (b + 1) * block_q][:, None]
+        d = np.abs(pq - p[None, :])
+        allowed = ((d <= w) if le else (d < w)).any(axis=0) | sink
+        pad = n_k * block_kv - seq
+        if pad:
+            allowed = np.concatenate([allowed, np.zeros(pad, bool)])
+        out[b] = allowed.reshape(n_k, block_kv).any(axis=1)
+    return out

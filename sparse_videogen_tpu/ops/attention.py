@@ -157,7 +157,10 @@ def _kernel(
             bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
             return s + bias[:1]
 
-        if mask_spec.kind != "none":
+        def spec_path(spec):
+            """Exact predicate for `spec`, with interior chunks proven fully
+            allowed by scalar interval math skipping the full-tile predicate
+            (boundary chunks take the exact path; conservative check)."""
 
             def masked_s(s):
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -166,17 +169,25 @@ def _kernel(
                     jnp.int32, (block_q, block_kv), 0
                 )
                 kpos = idx * SUB + col
-                allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
+                allowed = allowed & apply_mask_spec(spec, qpos, kpos, aux_ref)
                 return jnp.where(allowed, s, NEG_INF)
 
-            # interior chunks of band-style masks are fully allowed: prove it
-            # with scalar interval math and skip the full-tile predicate
-            # (boundary chunks take the exact path; conservative check)
-            full = full_block_allowed(
-                mask_spec, i * block_q, i * block_q + block_q - 1,
-                idx * SUB + lo, idx * SUB + hi - 1, aux_ref,
-            )
-            s = jax.lax.cond(full, bias_s, masked_s, s)
+            def run(s):
+                full = full_block_allowed(
+                    spec, i * block_q, i * block_q + block_q - 1,
+                    idx * SUB + lo, idx * SUB + hi - 1, aux_ref,
+                )
+                return jax.lax.cond(full, bias_s, masked_s, s)
+
+            return run
+
+        if isinstance(mask_spec, tuple):
+            # dual per-head specs (placement-free SVG1): aux[4 + b] selects
+            # the head's mask family (0 = first/spatial, 1 = second/temporal)
+            spec_s, spec_t = mask_spec
+            s = jax.lax.cond(aux_ref[4 + b] == 1, spec_path(spec_t), spec_path(spec_s), s)
+        elif mask_spec.kind != "none":
+            s = spec_path(mask_spec)(s)
         else:
             s = bias_s(s)
 

@@ -26,10 +26,16 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class MaskSpec:
-    kind: str = "none"  # none | band_sink | hyvideo | cog
+    kind: str = "none"  # none | band_sink | band_sink_perm | hyvideo | cog
     band_width: int = 0  # strict <. For the reference's <= W pass W + 1.
-    sink_size: int = 0  # band_sink: kv < sink_size always attended
+    sink_size: int = 0  # band_sink[_perm]: kv < sink_size always attended
     video_len: int = 0  # hyvideo: static video token count
+    # band_sink_perm (placement-free temporal heads): band+sink evaluated at
+    # PERMUTED positions p(x) = (x % frame_size) * num_frames + x // frame_size
+    # — the token-major relayout the reference performs with its placement
+    # kernels (wan/placement.py) becomes pure index math inside the predicate.
+    frame_size: int = 0
+    num_frames: int = 0
 
     def needs_aux(self) -> bool:
         return self.kind in ("hyvideo", "cog")
@@ -49,6 +55,11 @@ def apply_mask_spec(spec: MaskSpec, qpos, kpos, aux):
     if aux is not None:
         qpos = qpos + aux[2]
         kpos = kpos + aux[3]
+    if spec.kind == "band_sink_perm":
+        fs = spec.frame_size
+        pq = (qpos % fs) * spec.num_frames + qpos // fs
+        pk = (kpos % fs) * spec.num_frames + kpos // fs
+        return (jnp.abs(pq - pk) < spec.band_width) | (pk < spec.sink_size)
     band = jnp.abs(qpos - kpos) < spec.band_width
     if spec.kind == "band_sink":
         return band | (kpos < spec.sink_size)
@@ -79,6 +90,24 @@ def full_block_allowed(spec: MaskSpec, q0, q1, k0, k1, aux):
         q1 = q1 + aux[2]
         k0 = k0 + aux[3]
         k1 = k1 + aux[3]
+    if spec.kind == "band_sink_perm":
+        # conservative hull of p(x) over [x0, x1]: exact within one frame;
+        # a frame straddle widens to [f0, (fs-1)*F + f1] (a superset of the
+        # true p-range — wider hull = fewer fast-path hits, never wrong)
+        fs, F = spec.frame_size, spec.num_frames
+
+        def p_hull(x0, x1):
+            f0, s0 = x0 // fs, x0 % fs
+            f1, s1 = x1 // fs, x1 % fs
+            same = f0 == f1
+            pmin = jnp.where(same, s0 * F + f0, f0)
+            pmax = jnp.where(same, s1 * F + f0, (fs - 1) * F + f1)
+            return pmin, pmax
+
+        pq0, pq1 = p_hull(q0, q1)
+        pk0, pk1 = p_hull(k0, k1)
+        band_all = (pq1 - pk0 < spec.band_width) & (pk1 - pq0 < spec.band_width)
+        return band_all | (pk1 < spec.sink_size)
     band_all = (q1 - k0 < spec.band_width) & (k1 - q0 < spec.band_width)
     if spec.kind == "band_sink":
         return band_all | (k1 < spec.sink_size)

@@ -44,6 +44,13 @@ class SVG1Plan:
     # mask family: "band_sink" (wan/cosmos), "hyvideo" (text last + real/fake
     # split, dynamic real_len via aux), "cog" (text first, prompt_len via aux)
     mask_kind: str = "band_sink"
+    # placement-free temporal heads (band_sink only): instead of physically
+    # re-laying-out q/k/v frame-major -> token-major for temporal heads
+    # (reference placement kernels, ~65 ms/layer of row gathers at 720p),
+    # temporal heads keep the original layout and run per-head metadata +
+    # a band_sink_perm predicate that evaluates the band at permuted
+    # positions — the same attended set, zero data movement.
+    inplace_temporal: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "_cache", {})
@@ -96,6 +103,46 @@ class SVG1Plan:
         if key not in self._cache:
             self._cache[key] = fn()
         return self._cache[key]
+
+    @property
+    def mask_spec_dual(self):
+        """(spatial band_sink, temporal band_sink_perm) for inplace mode."""
+        lay = self.layout
+        w = math.ceil(self.multiplier * lay.frame_size / 128) * 128
+        spatial = MaskSpec(kind="band_sink", band_width=w + 1, sink_size=lay.frame_size)
+        temporal = MaskSpec(
+            kind="band_sink_perm", band_width=w + 1, sink_size=lay.frame_size,
+            frame_size=lay.frame_size, num_frames=lay.num_frames,
+        )
+        return spatial, temporal
+
+    def sparse_meta_dual(self):
+        """(meta_spatial, meta_temporal) with a common row length, for the
+        per-head metadata select of inplace_temporal mode."""
+
+        def build():
+            assert self.mask_kind == "band_sink", self.mask_kind
+            lay = self.layout
+            nsub = self.seq_pad_kv // MD.SUB
+            nq_pad = self.seq_pad_q // self.block_q
+            counts = MD.kv_counts_for_seq(lay.seq_len, self.seq_pad_kv)
+            bms = core_masks.execution_mask_block(
+                lay, self.multiplier, block_q=self.block_q, block_kv=MD.SUB,
+                first_frame_sink=True, round_mode="ceil",
+            )
+            bmt = core_masks.execution_mask_block_perm(
+                lay, self.multiplier, block_q=self.block_q, block_kv=MD.SUB,
+                round_mode="ceil",
+            )
+            metas = []
+            for bm in (bms, bmt):
+                bm = np.pad(bm, ((0, nq_pad - bm.shape[0]), (0, nsub - bm.shape[1])))
+                metas.append(MD.chunk_meta_np(bm[None], counts, block_kv=self.block_kv))
+            L = max(m.shape[-1] for m in metas)
+            metas = [np.pad(m, ((0, 0), (0, 0), (0, L - m.shape[-1]))) for m in metas]
+            return jax.device_put(np.concatenate(metas, axis=0))  # (2, nQ, L)
+
+        return self._build("sparse_meta_dual", build)
 
     def sparse_meta(self):
         def build():
@@ -161,6 +208,7 @@ def make_svg1_plan(
     block_q: int = 512,
     block_kv: int = 1024,
     mask_kind: str | None = None,
+    inplace_temporal: bool = False,
 ) -> SVG1Plan:
     """block_kv=1024 measured fastest on v5e (scripts/bench_kernel.py: dense
     127 vs 117 TFLOPs at Wan-720p scale); clamped for short sequences."""
@@ -178,7 +226,10 @@ def make_svg1_plan(
             TextPosition.LAST: "hyvideo",
             TextPosition.FIRST: "cog",
         }[layout.text_position]
-    return SVG1Plan(layout, cfg, warmup, mul, block_q, block_kv, mask_kind)
+    if inplace_temporal:
+        assert (mask_kind or "band_sink") == "band_sink", mask_kind
+    return SVG1Plan(layout, cfg, warmup, mul, block_q, block_kv, mask_kind,
+                    inplace_temporal)
 
 
 def _pad_seq(x, s_pad):
@@ -225,6 +276,14 @@ def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *
         sample_mse_max_row=plan.cfg.sample_mse_max_row,
     )
     best = best_mask_idx(mses)  # (B, H): 0 spatial, 1 temporal
+    if plan.inplace_temporal:
+        # placement-free: per-head metadata select + dual in-kernel predicate
+        # (meta here is the (2, nQ, L) stack from sparse_meta_dual)
+        flags = best.reshape(-1).astype(jnp.int32)  # (B*H,)
+        meta_bh = jnp.where(flags[:, None, None] == 1, meta[1][None], meta[0][None])
+        aux4 = jnp.zeros((4,), jnp.int32) if aux is None else aux.astype(jnp.int32)
+        aux_full = jnp.concatenate([aux4, flags])
+        return _run_kernel(q, k, v, meta_bh, plan, plan.mask_spec_dual, interpret, aux_full)
     is_t = (best == 1)[..., None, None]
     place = lambda x: jnp.where(is_t, jnp.take(x, gidx, axis=2), x)
     o = _run_kernel(place(q), place(k), place(v), meta, plan, plan.mask_spec, interpret, aux)
@@ -240,8 +299,9 @@ def dense_impl(q, k, v, meta, plan: SVG1Plan, aux=None, *, interpret=None):
 def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level sparse entry (fetches plan metadata as a device arg)."""
     pc = plan.placement_consts()
+    meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
     return svg1_sparse_impl(
-        q, k, v, rng, plan.sparse_meta(), pc["gather"], pc["inv_gather"], plan, aux,
+        q, k, v, rng, meta, pc["gather"], pc["inv_gather"], plan, aux,
         interpret=interpret,
     )
 
@@ -259,7 +319,7 @@ def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, in
     Top-level use only (metadata enters as device args here).
     """
     dense_meta = plan.dense_meta()
-    sparse_meta = plan.sparse_meta()
+    sparse_meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
     pc = plan.placement_consts()
     if layer_idx < plan.warmup.first_layers:
         return dense_impl(q, k, v, dense_meta, plan, interpret=interpret)

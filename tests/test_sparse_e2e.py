@@ -238,3 +238,48 @@ class TestSAPTextLast:
             qf, kf, v.reshape(B * H, S, D), jnp.asarray(mask)
         ).reshape(B, H, S, D)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-5)
+
+
+def test_inplace_temporal_matches_placement():
+    """Placement-free SVG1 (per-head dual metadata + band_sink_perm
+    predicate) computes the SAME attended set as the physical placement
+    path: identical outputs up to fp reassociation. Layout chosen so q
+    blocks straddle frame boundaries (frame_size not a block multiple)."""
+    import dataclasses as _dc
+
+    from sparse_videogen_tpu.core.profiler import best_mask_idx, sample_mse
+
+    B, H, D = 1, 4, 32
+    layout = VideoLayout(num_frames=6, frame_size=320)  # S = 1920
+    S = layout.seq_len
+    cfg = SVGConfig(sparsity=0.4, num_sampled_rows=16)
+    base = SVG1.make_svg1_plan(layout, cfg, block_q=128, block_kv=128)
+    inpl = SVG1.make_svg1_plan(layout, cfg, block_q=128, block_kv=128, inplace_temporal=True)
+
+    rs = np.random.RandomState(0)
+    # heads 0-1 temporal (tokens similar at the same spatial index across
+    # frames), heads 2-3 spatial (smooth over global position)
+    fs, F = layout.frame_size, layout.num_frames
+    emb_s = rs.randn(fs, D).astype(np.float32) * 2.0
+    temporal = np.tile(emb_s[None], (F, 1, 1)).reshape(S, D)
+    spatial = np.cumsum(rs.randn(S, D).astype(np.float32) * 0.4, axis=0)
+    q = np.empty((B, H, S, D), np.float32)
+    k = np.empty((B, H, S, D), np.float32)
+    for h in range(H):
+        basev = temporal if h < 2 else spatial
+        q[0, h] = basev + 0.2 * rs.randn(S, D)
+        k[0, h] = basev + 0.2 * rs.randn(S, D)
+    q, k = jnp.asarray(q), jnp.asarray(k)
+    v = jnp.asarray(rs.randn(B, H, S, D), jnp.float32)
+    rng = jax.random.PRNGKey(2)
+
+    ref = SVG1.svg1_sparse_attention(q, k, v, rng, base, interpret=True)
+    got = SVG1.svg1_sparse_attention(q, k, v, rng, inpl, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+    # make sure the comparison exercised both head classes
+    mses = sample_mse(q, k, v, base.profile_preds(), rng,
+                      num_sampled_rows=cfg.num_sampled_rows,
+                      sample_mse_max_row=cfg.sample_mse_max_row)
+    best = np.asarray(best_mask_idx(mses))
+    assert 0 < best.sum() < best.size, best
