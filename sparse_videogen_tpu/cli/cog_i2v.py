@@ -28,12 +28,22 @@ def build_parser():
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--model_dir", type=str, default=None)
     p.add_argument("--output_path", type=str, default="output_cog.npz")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
     p.add_argument("--smoke", action="store_true")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.skip_existing:
+        import os as _os
+
+        _out = args.output_path
+        for _p in (_out, _out[: -len(".npz")] + ".y4m" if _out.endswith(".npz") else _out):
+            if _os.path.exists(_p):
+                print(f"output {_p} exists; skipping generation")
+                return
     import jax
     import jax.numpy as jnp
 

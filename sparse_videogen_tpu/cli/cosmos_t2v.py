@@ -22,6 +22,8 @@ def build_parser():
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output_file", type=str, default="output_cosmos.npz")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
     p.add_argument("--pattern", type=str, default="dense", choices=["SVG", "dense", "SAP"])
     p.add_argument("--first_layers_fp", type=float, default=0.025)
     p.add_argument("--first_times_fp", type=float, default=0.075)
@@ -40,6 +42,14 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.skip_existing:
+        import os as _os
+
+        _out = args.output_file
+        for _p in (_out, _out[: -len(".npz")] + ".y4m" if _out.endswith(".npz") else _out):
+            if _os.path.exists(_p):
+                print(f"output {_p} exists; skipping generation")
+                return
     import jax
     import jax.numpy as jnp
 

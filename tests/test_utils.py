@@ -239,3 +239,16 @@ def test_y4m_roundtrip_and_metric_cli(tmp_path, capsys):
 
     from sparse_videogen_tpu.utils.density import densities_mean
     assert densities_mean(str(tmp_path / "empty-nowhere")) == 0.0
+
+
+def test_cli_skip_existing(tmp_path, capsys):
+    """--skip_existing short-circuits before any model work (reference
+    wan_t2v_inference.py:62-65 batch-resume semantics; also honors the
+    .npz -> .y4m extension switch the CLIs perform)."""
+    from sparse_videogen_tpu.cli import wan_t2v
+
+    out = tmp_path / "gen.npz"
+    y4m = tmp_path / "gen.y4m"
+    y4m.write_bytes(b"YUV4MPEG2\n")
+    wan_t2v.main(["--output_file", str(out), "--skip_existing"])
+    assert "skipping" in capsys.readouterr().out
