@@ -38,6 +38,8 @@ def build_parser():
     p.add_argument("--output_file", type=str, default="output.npz")
     p.add_argument("--skip_existing", action="store_true",
                    help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
+    p.add_argument("--converted_cache", type=str, default=None,
+                   help="dir to cache converted param pytrees (convert once, reload fast)")
     # sparsity pattern (reference flags)
     p.add_argument("--pattern", type=str, default="SVG", choices=["SVG", "dense", "SAP"])
     p.add_argument("--first_layers_fp", type=float, default=0.025)
@@ -125,8 +127,20 @@ def main(argv=None):
         cfg = wan_config_from_json(tdir) or (
             WM.WAN_1_3B if args.model_size == "1.3B" else WM.WAN_14B
         )
-        sd = load_safetensors_dir(tdir)
-        params = convert_wan_dit(sd, cfg)
+        cache = os.path.join(args.converted_cache, "wan_dit") if args.converted_cache else None
+        if cache and os.path.isfile(os.path.join(cache, "params.safetensors")):
+            from sparse_videogen_tpu.io.checkpoint import load_pytree
+
+            logger.info(f"loading converted params from cache {cache}")
+            params = load_pytree(cache)
+        else:
+            sd = load_safetensors_dir(tdir)
+            params = convert_wan_dit(sd, cfg)
+            if cache:
+                from sparse_videogen_tpu.io.checkpoint import save_pytree
+
+                save_pytree(cache, params)
+                logger.info(f"cached converted params -> {cache}")
         logger.info("encoding prompts with UMT5 (reference flow: t5.py:500-506)")
         t5 = UMT5Encoder.from_dir(args.model_dir, text_len=cfg.text_len)
         ctx = t5([args.prompt]).astype(jnp.bfloat16)

@@ -976,3 +976,72 @@ def convert_cog_vae(sd: dict, cfg, dtype=jnp.float32):
             "conv_out": cconv("decoder.conv_out"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# Converted-checkpoint cache: save/load param pytrees as safetensors
+# ---------------------------------------------------------------------------
+
+
+def _flatten_pytree(tree, prefix=()):
+    """Nested dict/list/tuple pytree -> {path: leaf}. Path segments join with
+    '/'; list indices are plain decimal segments (structure is recorded
+    separately, so no ambiguity)."""
+    out = {}
+    if isinstance(tree, dict):
+        for k in tree:
+            out.update(_flatten_pytree(tree[k], prefix + (str(k),)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_pytree(v, prefix + (str(i),)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _structure_of(tree):
+    if isinstance(tree, dict):
+        return {"d": {k: _structure_of(v) for k, v in tree.items()}}
+    if isinstance(tree, (list, tuple)):
+        return {"l": [_structure_of(v) for v in tree]}
+    return None  # leaf
+
+
+def save_pytree(path: str, params) -> None:
+    """Write a converted param pytree to `path`/params.safetensors +
+    structure.json. Conversion of a large HF checkpoint is pure host work —
+    cache it once and reload through the fast path afterwards."""
+    import numpy as _np
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    flat = {k: _np.asarray(v) for k, v in _flatten_pytree(params).items()}
+    save_file(flat, os.path.join(path, "params.safetensors"))
+    with open(os.path.join(path, "structure.json"), "w") as f:
+        json.dump(_structure_of(params), f)
+
+
+def load_pytree(path: str, dtype=None):
+    """Inverse of save_pytree. Leaves come back as jnp arrays (original
+    dtypes, or `dtype` for floating leaves when given)."""
+    from safetensors import safe_open
+
+    with open(os.path.join(path, "structure.json")) as f:
+        structure = json.load(f)
+    leaves = {}
+    with safe_open(os.path.join(path, "params.safetensors"), framework="np") as f:
+        for k in f.keys():
+            v = jnp.asarray(f.get_tensor(k))
+            if dtype is not None and jnp.issubdtype(v.dtype, jnp.floating):
+                v = v.astype(dtype)
+            leaves[k] = v
+
+    def rebuild(node, prefix):
+        if node is None:
+            return leaves["/".join(prefix)]
+        if "d" in node:
+            return {k: rebuild(v, prefix + (k,)) for k, v in node["d"].items()}
+        return [rebuild(v, prefix + (str(i),)) for i, v in enumerate(node["l"])]
+
+    return rebuild(structure, ())

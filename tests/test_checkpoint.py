@@ -482,3 +482,27 @@ def test_convert_cog_vae_structure():
     ref = CV.init_cog_vae_params(jax.random.PRNGKey(0), cfg)
     params = CK.convert_cog_vae(make_sd_cog_vae(cfg), cfg)
     assert tree_shapes(params) == tree_shapes(ref)
+
+
+def test_save_load_pytree_roundtrip(tmp_path):
+    """Converted-checkpoint cache: nested dict/list pytrees with mixed
+    dtypes (incl. bf16) survive the safetensors round trip exactly."""
+    rng = np.random.default_rng(0)
+    params = {
+        "blocks": [
+            {"w": jnp.asarray(rng.standard_normal((4, 8)), jnp.bfloat16),
+             "b": jnp.zeros((8,), jnp.float32)},
+            {"w": jnp.asarray(rng.standard_normal((4, 8)), jnp.bfloat16)},
+        ],
+        "head": {"scale": jnp.asarray([2.0], jnp.float32),
+                 "idx": jnp.arange(5, dtype=jnp.int32)},
+    }
+    d = str(tmp_path / "cache")
+    CK.save_pytree(d, params)
+    back = CK.load_pytree(d)
+    assert jax.tree.structure(back) == jax.tree.structure(params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), back, params)
+    assert back["blocks"][0]["w"].dtype == jnp.bfloat16
+    up = CK.load_pytree(d, dtype=jnp.float32)
+    assert up["blocks"][0]["w"].dtype == jnp.float32
+    assert up["head"]["idx"].dtype == jnp.int32  # ints untouched

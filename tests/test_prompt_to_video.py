@@ -176,3 +176,30 @@ def test_umt5_encoder_from_dir(model_dir):
     # padding rows zeroed; prompt 1 is longer than prompt 0
     assert np.abs(arr[0, -1]).max() == 0.0
     assert (np.abs(arr).sum(axis=(1, 2)) > 0).all()
+
+
+def test_cli_converted_cache(model_dir, tmp_path):
+    """--converted_cache: first run converts + saves, second run loads the
+    cached pytree (and still produces a video)."""
+    import os
+
+    from sparse_videogen_tpu.cli import wan_t2v
+
+    cache = str(tmp_path / "cache")
+    for i in range(2):
+        out = str(tmp_path / f"c{i}.npz")
+        wan_t2v.main([
+            "--prompt", "a cat.",
+            "--model_dir", model_dir,
+            "--converted_cache", cache,
+            "--pattern", "dense",
+            "--height", "96", "--width", "128", "--num_frames", "9",
+            "--num_inference_steps", "1",
+            "--output_file", out,
+        ])
+        assert os.path.isfile(str(tmp_path / f"c{i}.y4m"))
+    assert os.path.isfile(os.path.join(cache, "wan_dit", "params.safetensors"))
+    # cached and fresh runs agree bit-for-bit
+    a = open(str(tmp_path / "c0.y4m"), "rb").read()
+    b = open(str(tmp_path / "c1.y4m"), "rb").read()
+    assert a == b
