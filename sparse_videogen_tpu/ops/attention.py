@@ -30,12 +30,11 @@ next reader doesn't retry them: a 2-stream split unroll (independent online-
 softmax accumulators merged at the end, `unroll=2`) LOSES ~4% — the kernel
 is not VPU-latency-bound; replacing full-tile iota/compare/select masking
 with a broadcast column-bias add (kept, mask_spec="none" path) gains only
-~2% on the DENSE path — not VPU-throughput-bound either. The limiter there
-is the D=128-contraction MXU shape itself. For masked (band-style) paths the
-predicate IS significant at small sparsity: interior chunks are proven fully
-allowed with scalar interval math (mask_spec.full_block_allowed) and take
-the cheap bias path via an in-kernel lax.cond; only boundary chunks pay the
-full-tile predicate.
+~2% on the DENSE path — not VPU-throughput-bound either; an in-loop
+lax.cond branching interior chunks of band masks to the bias path (proven
+fully-allowed via scalar interval math) LOSES 54% — scf.if defeats
+Mosaic's software pipelining of the DMA/MXU schedule. The limiter is the
+D=128-contraction MXU shape itself.
 """
 
 from __future__ import annotations
@@ -48,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec, full_block_allowed
+from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec
 from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE, SUB
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -158,9 +157,13 @@ def _kernel(
             return s + bias[:1]
 
         def spec_path(spec):
-            """Exact predicate for `spec`, with interior chunks proven fully
-            allowed by scalar interval math skipping the full-tile predicate
-            (boundary chunks take the exact path; conservative check)."""
+            """Exact full-tile predicate for `spec`. NOTE (measured, v5e): a
+            lax.cond fast path that proved interior chunks fully-allowed with
+            scalar interval math (mask_spec.full_block_allowed) and branched
+            to the bias-only masking LOST 54% here (224 -> 344 ms at Wan-720p
+            SVG1) — the in-loop scf.if defeats Mosaic's software pipelining
+            of the DMA/MXU schedule, which outweighs the VPU savings. Keep
+            the masking unconditional."""
 
             def masked_s(s):
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
@@ -172,14 +175,7 @@ def _kernel(
                 allowed = allowed & apply_mask_spec(spec, qpos, kpos, aux_ref)
                 return jnp.where(allowed, s, NEG_INF)
 
-            def run(s):
-                full = full_block_allowed(
-                    spec, i * block_q, i * block_q + block_q - 1,
-                    idx * SUB + lo, idx * SUB + hi - 1, aux_ref,
-                )
-                return jax.lax.cond(full, bias_s, masked_s, s)
-
-            return run
+            return masked_s
 
         if isinstance(mask_spec, tuple):
             # dual per-head specs (placement-free SVG1): aux[4 + b] selects
