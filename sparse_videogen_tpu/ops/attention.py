@@ -74,6 +74,7 @@ def _kernel(
     meta_rows: int,
     nbuf: int,
     unroll: int = 1,
+    qsplit: int = 1,
     return_stats: bool = False,
 ):
     if return_stats:
@@ -125,10 +126,17 @@ def _kernel(
     # scale folded into q once per grid step: saves a full (block_q,
     # block_kv) f32 multiply per chunk (f32 mul then cast keeps one rounding)
     q_s = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # ping-pong q sub-tiles: qsplit independent (acc, m, l) chains against
+    # the SAME KV chunk let the scheduler hide one tile's VPU softmax under
+    # another tile's MXU matmuls, with NO state merge (each sub-tile owns its
+    # rows). Measured +11% dense at bq=2048/qsplit=4 (scripts/bench_qsplit.py)
+    # — refuting the earlier "D=128 dot shape is the limiter" conclusion.
+    SQ = block_q // qsplit
+    q_tiles = [q_s[t * SQ : (t + 1) * SQ] for t in range(qsplit)]
 
-    def process(c, acc, m, l):
-        """Online-softmax update with chunk c (< n_up; tail chunks beyond n
-        get an empty window so their contribution is exactly zero)."""
+    def process(c, states):
+        """Online-softmax update of all q sub-tiles with chunk c (< n_up;
+        tail chunks beyond n get an empty window => exactly zero)."""
         ce = jnp.maximum(jnp.minimum(c, n - 1), 0)
         slot = c % NS
         idx = meta_ref[sub, 1 + 2 * ce]
@@ -142,21 +150,18 @@ def _kernel(
         k_blk = kvbuf[slot][:, :D]
         v_blk = kvbuf[slot][:, D:]
 
-        s = jax.lax.dot_general(
-            q_s, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
+        bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
 
-        def bias_s(s):
+        def bias_s(s, t):
             # window masking via a broadcast additive bias over columns only
             # (8, block_kv) instead of full-tile iota/compare/select — the
             # VPU work per chunk drops from ~5 full passes to 1. Masked
             # columns end at ~NEG_INF so p underflows to exactly 0 (the
             # m_safe exponent below covers rows with no live column yet).
-            colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
-            bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
             return s + bias[:1]
 
-        def spec_path(spec):
+        def spec_path(spec, t):
             """Exact full-tile predicate for `spec`. NOTE (measured, v5e): a
             lax.cond fast path that proved interior chunks fully-allowed with
             scalar interval math (mask_spec.full_block_allowed) and branched
@@ -166,10 +171,10 @@ def _kernel(
             the masking unconditional."""
 
             def masked_s(s):
-                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+                col = jax.lax.broadcasted_iota(jnp.int32, (SQ, block_kv), 1)
                 allowed = (col >= lo) & (col < hi)
-                qpos = i * block_q + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_kv), 0
+                qpos = i * block_q + t * SQ + jax.lax.broadcasted_iota(
+                    jnp.int32, (SQ, block_kv), 0
                 )
                 kpos = idx * SUB + col
                 allowed = allowed & apply_mask_spec(spec, qpos, kpos, aux_ref)
@@ -177,56 +182,77 @@ def _kernel(
 
             return masked_s
 
-        if isinstance(mask_spec, tuple):
-            # dual per-head specs (placement-free SVG1): aux[4 + b] selects
-            # the head's mask family (0 = first/spatial, 1 = second/temporal)
-            spec_s, spec_t = mask_spec
-            s = jax.lax.cond(aux_ref[4 + b] == 1, spec_path(spec_t), spec_path(spec_s), s)
-        elif mask_spec.kind != "none":
-            s = spec_path(mask_spec)(s)
-        else:
-            s = bias_s(s)
+        new_states = list(states)
+        for t in range(qsplit):
+            acc, m, l = states[3 * t : 3 * t + 3]
+            s = jax.lax.dot_general(
+                q_tiles[t], k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if isinstance(mask_spec, tuple):
+                # dual per-head specs (placement-free SVG1): aux[4 + b]
+                # selects the head's mask family (0 = spatial, 1 = temporal)
+                spec_s, spec_t = mask_spec
+                s = jax.lax.cond(
+                    aux_ref[4 + b] == 1, spec_path(spec_t, t), spec_path(spec_s, t), s
+                )
+            elif mask_spec.kind != "none":
+                s = spec_path(mask_spec, t)(s)
+            else:
+                s = bias_s(s, t)
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        alpha = jnp.exp(m - m_new)
-        # rows with every column masked so far have m_new ~ NEG_INF; exponent
-        # against 0 instead so their p underflows to exactly 0 (no p-kill
-        # pass needed in either branch)
-        m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
-        p = jnp.exp(s - m_safe)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype),
-            v_blk,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc * alpha + pv
-        return acc, m_new, l
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            alpha = jnp.exp(m - m_new)
+            # rows with every column masked so far have m_new ~ NEG_INF;
+            # exponent against 0 instead so their p underflows to exactly 0
+            # (no p-kill pass needed in either branch)
+            m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+            p = jnp.exp(s - m_safe)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_states[3 * t : 3 * t + 3] = [acc * alpha + pv, m_new, l]
+        return tuple(new_states)
 
-    acc0 = jnp.zeros((block_q, D), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    def init_states():
+        out = ()
+        for _ in range(qsplit):
+            out += (
+                jnp.zeros((SQ, D), jnp.float32),
+                jnp.full((SQ, 1), NEG_INF, jnp.float32),
+                jnp.zeros((SQ, 1), jnp.float32),
+            )
+        return out
 
     if unroll == 1:
 
         def body(j, carry):
-            acc, m, l = carry
-
             @pl.when(j + nbuf - 1 < n)
             def _():
                 kv_copy((j + nbuf - 1) % NS, j + nbuf - 1).start()
 
-            return process(j, acc, m, l)
+            return process(j, carry)
 
-        acc, m, l = jax.lax.fori_loop(0, n, body, (acc0, m0, l0))
+        states = jax.lax.fori_loop(0, n, body, init_states())
+        o = jnp.concatenate(
+            [states[3 * t] / jnp.maximum(states[3 * t + 2], 1e-20) for t in range(qsplit)],
+            axis=0,
+        )
+        m = jnp.concatenate([states[3 * t + 1] for t in range(qsplit)], axis=0)
+        l = jnp.concatenate([states[3 * t + 2] for t in range(qsplit)], axis=0)
     else:
         # Split-stream unroll: `unroll` independent (acc, m, l) accumulators
         # over interleaved chunk subsets give the scheduler independent
         # MXU/VPU chains to overlap (the online-softmax carry is a serial
         # dependency within a stream but streams only merge at the end —
         # the merge below is the standard flash-attention combine).
+        assert qsplit == 1, "unroll > 1 composes with qsplit == 1 only"
+
         def body(j, carry):
             states = list(carry)
             base = j * unroll
@@ -238,15 +264,15 @@ def _kernel(
                     kv_copy(c_pre % NS, c_pre).start()
 
             for u in range(unroll):
-                a, mm, ll = states[3 * u: 3 * u + 3]
-                a, mm, ll = process(base + u, a, mm, ll)
-                states[3 * u: 3 * u + 3] = [a, mm, ll]
+                states[3 * u : 3 * u + 3] = list(
+                    process(base + u, tuple(states[3 * u : 3 * u + 3]))
+                )
             return tuple(states)
 
         npairs = (n + unroll - 1) // unroll
         init = ()
         for _ in range(unroll):
-            init = init + (acc0, m0, l0)
+            init = init + init_states()
         states = jax.lax.fori_loop(0, npairs, body, init)
         acc, m, l = states[0], states[1], states[2]
         for u in range(1, unroll):
@@ -257,10 +283,10 @@ def _kernel(
             acc = acc * a0 + a2 * a1
             l = l * a0 + l2 * a1
             m = m_new
+        o = acc / jnp.maximum(l, 1e-20)
 
     # rows that never saw a live column have acc == 0 and l == 0 -> output 0
     # (the m_safe exponent guarantees p == 0 for them in every chunk)
-    o = acc / jnp.maximum(l, 1e-20)
     o_ref[0] = o.astype(o_ref.dtype)
     if return_stats:
         m_ref[0] = m.reshape(block_q // 128, 128)
@@ -269,7 +295,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "interpret", "return_stats"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "qsplit", "interpret", "return_stats"),
 )
 def block_sparse_attention_kv(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -283,6 +309,7 @@ def block_sparse_attention_kv(
     scale: float | None = None,
     nbuf: int = 2,
     unroll: int = 1,
+    qsplit: int = 1,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -315,6 +342,8 @@ def block_sparse_attention_kv(
     if not interpret:
         assert D2 % 128 == 0, f"packed KV minor dim {D2} must be a multiple of 128"
 
+    assert block_q % qsplit == 0 and (block_q // qsplit) % 8 == 0, (block_q, qsplit)
+    assert unroll == 1 or qsplit == 1, (unroll, qsplit)
     kernel = functools.partial(
         _kernel,
         block_q=block_q,
@@ -325,6 +354,7 @@ def block_sparse_attention_kv(
         meta_rows=R,
         nbuf=nbuf,
         unroll=unroll,
+        qsplit=qsplit,
         return_stats=return_stats,
     )
 

@@ -60,6 +60,30 @@ class SVG1Plan:
         return -(-self.layout.seq_len // self.block_q) * self.block_q
 
     @property
+    def dense_exec(self):
+        """(block_q, qsplit) for the DENSE path. Measured (v5e, Wan 720p):
+        unmasked dense runs fastest at bq=2048 with 8 ping-pong q sub-tiles
+        (563 -> 477 ms, -15%); masked paths (hyvideo/cog dense predicates,
+        SVG1 sparse) prefer bq=512 with qsplit=2 (the full-tile predicate
+        per sub-tile eats the overlap win beyond that)."""
+        if self.dense_mask_spec.kind == "none" and self.seq_pad_kv >= 2048:
+            bq = min(2048, -(-self.layout.seq_len // 128) * 128)
+            qsplit = max(1, min(8, bq // 256))
+        else:
+            bq = self.block_q
+            qsplit = max(1, min(2, bq // 128))
+        while bq % qsplit or (bq // qsplit) % 8:
+            qsplit -= 1
+        return bq, qsplit
+
+    @property
+    def sparse_qsplit(self) -> int:
+        q = max(1, min(2, self.block_q // 128))
+        while self.block_q % q or (self.block_q // q) % 8:
+            q -= 1
+        return q
+
+    @property
     def seq_pad_kv(self) -> int:
         s = -(-self.layout.seq_len // MD.SUB) * MD.SUB
         return max(s, self.block_kv)
@@ -101,6 +125,19 @@ class SVG1Plan:
         # becomes a constvar, i.e. a runtime parameter with the standard
         # layout.
         if key not in self._cache:
+            # array-building caches must not run under an active trace (any
+            # jnp op yields a Tracer there — omnistaging); host-object caches
+            # like the profile predicates are trace-safe
+            if key != "preds" and isinstance(jnp.zeros(()) + 0, jax.core.Tracer):
+                # building under an active trace would cache a tracer
+                # (poisoning every later call) AND embed the metadata as a
+                # traced literal. Materialize at host level first.
+                raise RuntimeError(
+                    f"SVG1Plan.{key} must first be built outside jit: call "
+                    "plan.sparse_meta()/dense_meta()/placement_consts() (or "
+                    "the top-level svg1_* entries) at host level, then pass "
+                    "the arrays through your jit's arguments."
+                )
             self._cache[key] = fn()
         return self._cache[key]
 
@@ -169,7 +206,9 @@ class SVG1Plan:
         def build():
             counts = MD.kv_counts_for_seq(self.layout.seq_len, self.seq_pad_kv)
             nsub = self.seq_pad_kv // MD.SUB
-            bm = np.ones((1, self.seq_pad_q // self.block_q, nsub), bool)
+            bq_d, _ = self.dense_exec
+            nq = -(-self.layout.seq_len // bq_d)
+            bm = np.ones((1, nq, nsub), bool)
             return jax.device_put(MD.chunk_meta_np(bm, counts, block_kv=self.block_kv))
 
         return self._build("dense_meta", build)
@@ -236,9 +275,12 @@ def _pad_seq(x, s_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]), (0, 0)))
 
 
-def _run_kernel(q, k, v, meta, plan, mask_spec, interpret, aux=None):
+def _run_kernel(q, k, v, meta, plan, mask_spec, interpret, aux=None, *,
+                block_q=None, qsplit=None):
     B, H, S, D = q.shape
-    qf = _pad_seq(q, plan.seq_pad_q).reshape(B * H, plan.seq_pad_q, D)
+    bq = block_q or plan.block_q
+    sq_pad = -(-S // bq) * bq
+    qf = _pad_seq(q, sq_pad).reshape(B * H, sq_pad, D)
     kv = pack_kv(
         _pad_seq(k, plan.seq_pad_kv).reshape(B * H, plan.seq_pad_kv, D),
         _pad_seq(v, plan.seq_pad_kv).reshape(B * H, plan.seq_pad_kv, D),
@@ -248,9 +290,10 @@ def _run_kernel(q, k, v, meta, plan, mask_spec, interpret, aux=None):
         kv,
         jnp.asarray(meta),
         aux,
-        block_q=plan.block_q,
+        block_q=bq,
         block_kv=plan.block_kv,
         mask_spec=mask_spec,
+        qsplit=qsplit if qsplit is not None else plan.sparse_qsplit,
         interpret=interpret,
     )
     return out[:, :S].reshape(B, H, S, D)
@@ -293,7 +336,9 @@ def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *
 @partial(jax.jit, static_argnames=("plan", "interpret"))
 def dense_impl(q, k, v, meta, plan: SVG1Plan, aux=None, *, interpret=None):
     """Dense attention through the same kernel (explicit full metadata)."""
-    return _run_kernel(q, k, v, meta, plan, plan.dense_mask_spec, interpret, aux)
+    bq_d, qs_d = plan.dense_exec
+    return _run_kernel(q, k, v, meta, plan, plan.dense_mask_spec, interpret, aux,
+                       block_q=bq_d, qsplit=qs_d)
 
 
 def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, aux=None, *, interpret=None):

@@ -205,3 +205,32 @@ def test_full_window_roundtrip_block_kv_1024():
     pd = np.exp(sd - sd.max(-1, keepdims=True))
     pd /= pd.sum(-1, keepdims=True)
     np.testing.assert_allclose(outd[0, 0], pd @ vf, atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("qsplit", [2, 4])
+def test_qsplit_matches_qsplit1(qsplit):
+    """Ping-pong q sub-tiles: bit-comparable output to the single-tile path
+    (independent per-row softmax chains; no merge)."""
+    from sparse_videogen_tpu.ops.attention import block_sparse_attention_kv, pack_kv
+    from sparse_videogen_tpu.ops.metadata import chunk_meta_np, kv_counts_for_seq
+
+    BH, S, D, bq, bkv = 2, 1024, 64, 256, 256
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32)
+    kv = pack_kv(
+        jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32),
+        jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32),
+    )
+    bm = rng.random((BH, S // bq, S // 128)) < 0.6
+    bm[:, :, 0] = True
+    meta = jnp.asarray(chunk_meta_np(bm, np.broadcast_to(kv_counts_for_seq(S), (BH, S // 128)), block_kv=bkv))
+    base = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv)
+    got = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv, qsplit=qsplit)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-4)
+    # with a mask predicate too (band + sink across sub-tile boundaries)
+    from sparse_videogen_tpu.ops.mask_spec import MaskSpec
+
+    spec = MaskSpec(kind="band_sink", band_width=300, sink_size=128)
+    base = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv, mask_spec=spec)
+    got = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv, mask_spec=spec, qsplit=qsplit)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-4)
