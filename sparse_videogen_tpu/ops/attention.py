@@ -23,18 +23,18 @@ Per grid step (= one (batch*head, q-block row)):
      (reproduces the reference flex mask_mods exactly, incl. partial blocks).
 
 Measured on v5e (S=32k, 12 heads, D=128, bf16, dense metadata;
-scripts/bench_kernel.py): 114.6 TFLOPs at block_q=512, block_kv=1024 (~58%
-peak, 94% of the 122-TFLOP no-softmax matmul+DMA pipeline ceiling at this
-D=128 dot shape); 127 TFLOPs at Wan-720p S=75,600. Negative results, so the
-next reader doesn't retry them: a 2-stream split unroll (independent online-
-softmax accumulators merged at the end, `unroll=2`) LOSES ~4% — the kernel
-is not VPU-latency-bound; replacing full-tile iota/compare/select masking
-with a broadcast column-bias add (kept, mask_spec="none" path) gains only
-~2% on the DENSE path — not VPU-throughput-bound either; an in-loop
-lax.cond branching interior chunks of band masks to the bias path (proven
-fully-allowed via scalar interval math) LOSES 54% — scf.if defeats
-Mosaic's software pipelining of the DMA/MXU schedule. The limiter is the
-D=128-contraction MXU shape itself.
+scripts/bench_kernel.py + bench_qsplit.py): 134 TFLOPs dense at
+block_q=2048 with qsplit=8 ping-pong q sub-tiles (121 at the bq=512
+single-tile shape — the old "122-TFLOP no-softmax pipeline ceiling" was a
+softmax-overlap limit, not a D=128 dot-shape limit; qsplit's independent
+per-sub-tile softmax chains hide VPU work under the other tiles' MXU
+matmuls with no state merge). Negative results, so the next reader doesn't
+retry them: the kv-interleaved split unroll (`unroll=2`, which DOES merge
+states at the end) loses ~4%; an in-loop lax.cond branching interior
+chunks of band masks to bias-only masking (proven fully-allowed via scalar
+interval math) loses 54% — scf.if defeats Mosaic's software pipelining of
+the DMA/MXU schedule; masked paths gain from qsplit only up to 2 (the
+full-tile predicate is per sub-tile).
 """
 
 from __future__ import annotations
