@@ -27,18 +27,23 @@ kvp = pack_kv(
 )
 flops = 4 * S * S * D * BH
 
-for bq in (256, 512, 1024):
+for bq in (512, 1024, 2048):
     for bkv in (512, 1024):
-        for nbuf, unroll in ((2, 1), (3, 1), (2, 2), (3, 2), (2, 3)):
+        for nbuf, unroll, qsplit in (
+            (2, 1, 1), (3, 1, 1), (2, 2, 1), (2, 1, 2), (2, 1, 4), (2, 1, 8),
+        ):
+            if bq // qsplit < 128:
+                continue
             try:
                 meta = jnp.asarray(dense_meta(S, S, block_q=bq, block_kv=bkv))
                 t = measure(
                     lambda: block_sparse_attention_kv(
-                        q, kvp, meta, block_q=bq, block_kv=bkv, nbuf=nbuf, unroll=unroll
+                        q, kvp, meta, block_q=bq, block_kv=bkv, nbuf=nbuf,
+                        unroll=unroll, qsplit=qsplit,
                     ),
                     iters=5, warmup=2,
                 )
-                print(f"bq={bq} bkv={bkv} nbuf={nbuf} unroll={unroll}: "
+                print(f"bq={bq} bkv={bkv} nbuf={nbuf} unroll={unroll} qsplit={qsplit}: "
                       f"{t*1e3:7.2f} ms  {flops/t/1e12:6.1f} TFLOPs", flush=True)
             except Exception as e:
-                print(f"bq={bq} bkv={bkv} nbuf={nbuf} unroll={unroll}: FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
+                print(f"bq={bq} bkv={bkv} nbuf={nbuf} unroll={unroll} qsplit={qsplit}: FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
