@@ -113,3 +113,44 @@ def test_execution_mask_block_contains_band_and_sink():
                 np.abs(qs[:, None] - ks[None, :]) <= two_frame
             ).any() or (ks < 256).any()
             assert blk[i // 128, j // 128] == any_true
+
+
+def test_full_block_allowed_is_conservative():
+    """full_block_allowed claims 'every pair attends' — verify the claim
+    implies truth (never the reverse) for all mask kinds over random
+    rectangles. (Unused by the kernel after the lax.cond fast path was
+    measured a loss; kept for block-level schedulers.)"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_videogen_tpu.ops.mask_spec import (
+        MaskSpec,
+        apply_mask_spec,
+        full_block_allowed,
+    )
+
+    rng = np.random.default_rng(0)
+    aux = jnp.asarray([700, 0, 64, 128], jnp.int32)  # offsets exercised
+    specs = [
+        MaskSpec(kind="band_sink", band_width=300, sink_size=128),
+        MaskSpec(kind="band_sink_perm", band_width=200, sink_size=96,
+                 frame_size=96, num_frames=8),
+        MaskSpec(kind="cog", band_width=250),
+        MaskSpec(kind="hyvideo", band_width=220, video_len=512),
+    ]
+    checked = 0
+    for spec in specs:
+        sizes = [0, 31, 127]  # few distinct shapes (eager ops compile per shape)
+        for _ in range(120):
+            q0 = int(rng.integers(0, 700))
+            k0 = int(rng.integers(0, 700))
+            q1 = q0 + int(rng.choice(sizes))
+            k1 = k0 + int(rng.choice(sizes))
+            full = bool(full_block_allowed(spec, q0, q1, k0, k1, aux))
+            if not full:
+                continue
+            qpos = jnp.arange(q0, q1 + 1)[:, None]
+            kpos = jnp.arange(k0, k1 + 1)[None, :]
+            assert bool(apply_mask_spec(spec, qpos, kpos, aux).all()), (spec, q0, q1, k0, k1)
+            checked += 1
+    assert checked > 50  # the claim fired often enough to mean something
