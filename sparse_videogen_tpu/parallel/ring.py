@@ -128,7 +128,7 @@ def ring_attention(
         out = acc / jnp.maximum(l, 1e-20)[..., None]
         return out.astype(q.dtype).reshape(Bl, Hl, Sl, D)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     qkv_spec = P(None, head_axis, axis, None)
     fn = shard_map(
@@ -136,6 +136,6 @@ def ring_attention(
         mesh=mesh,
         in_specs=(qkv_spec,) * 3 + (P(),),
         out_specs=qkv_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, meta_all)

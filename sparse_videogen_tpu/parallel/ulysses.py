@@ -18,7 +18,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,7 +91,7 @@ class UlyssesRuntime:
             mesh=self.mesh,
             in_specs=(qkv_spec, qkv_spec, qkv_spec, bh_specs, P(), P(), P(), consts_specs),
             out_specs=(qkv_spec, bh_specs),
-            check_rep=False,
+            check_vma=False,
         )(q, k, v, state_bh, t, rng, layer_idx, consts)
         new_state = jax.tree.map(
             lambda x: x.reshape(B * H, *x.shape[2:])
