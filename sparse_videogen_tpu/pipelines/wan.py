@@ -58,13 +58,35 @@ def make_wan_runtime(
 ):
     plan = make_svg1_plan(layout, svg, warmup, block_q=block_q, block_kv=block_kv)
     mode = SparseMode(pattern)
+    rp = mesh.shape.get("rp", 1) if mesh is not None else 1
+    sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+    if rp > 1:
+        # ring / context parallel (--ring_degree): token axis sharded.
+        # dense and SAP compose (parallel/ring.py, ring_sap.py); SVG1's
+        # per-head profiling + placement permute the GLOBAL token axis —
+        # shard heads instead (the reference likewise only runs dense under
+        # sequence parallelism, xdit_context_parallel.py).
+        from sparse_videogen_tpu.parallel.ring_runtime import (
+            RingDenseRuntime,
+            RingSAPRuntime,
+        )
+
+        head_axis = "sp" if sp > 1 else None
+        if mode == SparseMode.DENSE:
+            return RingDenseRuntime(plan, mesh, head_axis=head_axis)
+        if mode == SparseMode.SAP:
+            return RingSAPRuntime(plan, sap, warmup, mesh, head_axis=head_axis)
+        raise ValueError(
+            "pattern=SVG does not compose with ring_degree>1 (global per-head "
+            "placement); use --ulysses_degree for SVG multi-chip"
+        )
     if mode == SparseMode.DENSE:
         rt = DenseRuntime(plan)
     elif mode == SparseMode.SVG:
         rt = SVG1Runtime(plan)
     else:
         rt = SAPRuntime(plan, sap, warmup)
-    if mesh is not None and mesh.shape.get("sp", 1) > 1:
+    if sp > 1:
         from sparse_videogen_tpu.parallel import UlyssesRuntime
 
         rt = UlyssesRuntime(rt, mesh)
@@ -203,16 +225,22 @@ class WanPipeline:
 
 
 def export_video(video, path: str, fps: int = 16):
-    """video: (B, 3, T, H, W) in [-1, 1] -> .y4m via the native writer
-    (reference: diffusers export_to_video, wan_t2v_inference.py:166)."""
+    """video: (B, 3, T, H, W) in [-1, 1] -> .mp4 (MJPEG, io/mp4.py) or .y4m
+    (lossless, native writer) by extension (reference: diffusers
+    export_to_video writes .mp4, wan_t2v_inference.py:166)."""
     import numpy as np
-
-    from sparse_videogen_tpu.io.native import write_y4m
 
     v = np.asarray(video)[0]
     v = np.clip((v + 1.0) * 127.5, 0, 255).astype(np.uint8)
     v = np.transpose(v, (1, 2, 3, 0))  # (T, H, W, 3)
-    write_y4m(path, v, fps=fps)
+    if path.endswith(".mp4"):
+        from sparse_videogen_tpu.io.mp4 import write_mp4
+
+        write_mp4(path, v, fps=fps)
+    else:
+        from sparse_videogen_tpu.io.native import write_y4m
+
+        write_y4m(path, v, fps=fps)
 
 
 def build_i2v_condition(latent_condition, *, vae_temporal: int = VAE_TEMPORAL):
