@@ -37,6 +37,13 @@ def build_parser():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--use_fp8", action="store_true",
                    help="FP8 (e4m3) weight-only storage for block linears (reference --use-fp8)")
+    # parallelism (reference parallel flag group, hyvideo_orig/config.py:351-369)
+    p.add_argument("--ulysses_degree", type=int, default=1,
+                   help="head-sharded sequence parallelism (all patterns)")
+    p.add_argument("--ring_degree", type=int, default=1,
+                   help="ring/context parallelism over tokens (dense pattern)")
+    p.add_argument("--dit_fsdp", action="store_true",
+                   help="shard DiT weights over all devices (FSDP analog)")
     return p
 
 
@@ -118,10 +125,23 @@ def main(argv=None):
                 params[key] = quantize_linears_fp8(params[key])
         logger.info("fp8: block linears stored as e4m3 + per-layer scales")
 
+    mesh = None
+    if args.ulysses_degree * args.ring_degree > 1 or args.dit_fsdp:
+        from sparse_videogen_tpu.parallel import make_mesh, shard_params
+
+        n = args.ulysses_degree * args.ring_degree
+        dp = 1
+        if args.dit_fsdp and n == 1:
+            n = dp = len(jax.devices())
+        mesh = make_mesh(n, dp=dp, sp=args.ulysses_degree, rp=args.ring_degree)
+        params = shard_params(params, mesh)
+        logger.info(f"mesh {dict(mesh.shape)} over {n} devices; params FSDP-sharded")
+
     pipe = HyVideoPipeline(cfg, params)
     mask = jnp.asarray(mask)
     lat = pipe.generate_latents(
-        text, mask, pooled, prompt_length=int(np.asarray(mask)[0].sum()),
+        text, mask, pooled,
+        mesh=mesh, prompt_length=int(np.asarray(mask)[0].sum()),
         height=args.height, width=args.width,
         num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,

@@ -57,6 +57,16 @@ def build_parser():
     p.add_argument("--kmeans_iter_step", type=int, default=2)
     p.add_argument("--zero_step_kmeans_init", action="store_true")
     p.add_argument("--logging_file", type=str, default=None)
+    # parallelism (reference parallel flag group, hyvideo_orig/config.py:
+    # 351-369 --ulysses-degree/--ring-degree; wan_orig dit_fsdp)
+    p.add_argument("--dp", type=int, default=1, help="data-parallel degree (CFG pair / batch)")
+    p.add_argument("--ulysses_degree", type=int, default=1,
+                   help="head-sharded sequence parallelism (all patterns)")
+    p.add_argument("--ring_degree", type=int, default=1,
+                   help="ring/context parallelism over tokens (dense and SAP)")
+    p.add_argument("--dit_fsdp", action="store_true",
+                   help="shard DiT weights over all mesh devices even when no "
+                        "other degree is set (uses every available device)")
     # smoke mode
     p.add_argument("--smoke", action="store_true", help="tiny random-weight run (no checkpoints needed)")
     p.add_argument("--use_fp8", action="store_true",
@@ -115,6 +125,14 @@ def main(argv=None):
         args.num_q_centroids = min(args.num_q_centroids, 8)
         args.num_k_centroids = min(args.num_k_centroids, 12)
         args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
+        if not args.output_file.endswith(".npz"):
+            # video output requested: decode through a tiny random-weight VAE
+            # so the full prompt->pixels->container path runs in smoke mode
+            from sparse_videogen_tpu.models.wan import vae as WV
+
+            vae_cfg = WV.WanVAEConfig(dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+            vae_params = WV.init_wan_vae_params(jax.random.PRNGKey(1), vae_cfg)
+            vae_decode = jax.jit(lambda z: WV.vae_decode(vae_params, vae_cfg, z))
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_wan_dit,
@@ -164,9 +182,24 @@ def main(argv=None):
         params["blocks"] = quantize_linears_fp8(params["blocks"])
         logger.info("fp8: block linears stored as e4m3 + per-layer scales")
 
+    mesh = None
+    if args.dp * args.ulysses_degree * args.ring_degree > 1 or args.dit_fsdp:
+        from sparse_videogen_tpu.parallel import make_mesh, shard_params
+
+        n = args.dp * args.ulysses_degree * args.ring_degree
+        dp = args.dp
+        if args.dit_fsdp and n == 1:
+            # pure weight sharding: all devices on dp (activations replicated,
+            # XLA all-gathers weights at use — torch FSDP FULL_SHARD analog)
+            n = dp = len(jax.devices())
+        mesh = make_mesh(n, dp=dp, sp=args.ulysses_degree, rp=args.ring_degree)
+        params = shard_params(params, mesh)
+        logger.info(f"mesh {dict(mesh.shape)} over {n} devices; params FSDP-sharded")
+
     pipe = WanPipeline(cfg, params)
     lat = pipe.generate_latents(
         ctx, ctx_null,
+        mesh=mesh,
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, flow_shift=args.flow_shift,

@@ -72,6 +72,7 @@ class HyVideoPipeline:
         sap: SAPConfig = SAPConfig(),
         seed: int = 0,
         image_latents=None,  # I2V: (1, 16, 1, h, w) VAE-encoded first frame
+        mesh=None,  # dp x rp x sp device mesh (parallel/mesh.py)
     ):
         cfg = self.model_cfg
         layout = hyvideo_layout(cfg, height, width, num_frames)
@@ -85,12 +86,35 @@ class HyVideoPipeline:
         )
         plan = make_svg1_plan(layout, svg, warmup)
         mode = SparseMode(pattern)
-        if mode == SparseMode.DENSE:
-            runtime = DenseRuntime(plan, prompt_length=prompt_length)
-        elif mode == SparseMode.SVG:
-            runtime = SVG1Runtime(plan, prompt_length=prompt_length)
+        rp = mesh.shape.get("rp", 1) if mesh is not None else 1
+        sp = mesh.shape.get("sp", 1) if mesh is not None else 1
+        if rp > 1:
+            # text-LAST layout: ring supports dense only (the static masks
+            # compose via global-coordinate aux predicates); SVG needs
+            # global placement and SAP's ring variant is video-only —
+            # shard heads (--ulysses_degree) for those.
+            from sparse_videogen_tpu.parallel.ring_runtime import RingDenseRuntime
+
+            if mode != SparseMode.DENSE:
+                raise ValueError(
+                    "hyvideo ring_degree>1 supports pattern=dense; use "
+                    "--ulysses_degree for SVG/SAP (head-local algorithms)"
+                )
+            runtime = RingDenseRuntime(
+                plan, mesh, head_axis="sp" if sp > 1 else None,
+                prompt_length=prompt_length,
+            )
         else:
-            runtime = SAPRuntime(plan, sap, warmup)
+            if mode == SparseMode.DENSE:
+                runtime = DenseRuntime(plan, prompt_length=prompt_length)
+            elif mode == SparseMode.SVG:
+                runtime = SVG1Runtime(plan, prompt_length=prompt_length)
+            else:
+                runtime = SAPRuntime(plan, sap, warmup)
+            if sp > 1:
+                from sparse_videogen_tpu.parallel import UlyssesRuntime
+
+                runtime = UlyssesRuntime(runtime, mesh)
 
         F_lat = 1 + (num_frames - 1) // VAE_TEMPORAL
         H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL
