@@ -1,0 +1,180 @@
+"""HunyuanVideo 720p x 129f e2e TPU benchmark — the BASELINE north star.
+
+Reference: HunyuanVideo T2V 720p dense 29:57 vs SVG 15:38 = 1.91x on H100
+(/root/reference/README.md:126, BASELINE.md). This measures the TPU
+counterpart: full HYVideo-T/2 architecture (double + single stream blocks,
+text-last layout with real_len aux, embedded guidance, B=1) at the exact
+720p x 129f token count S = 33*3600 + 256 = 119,056, dense vs SVG1, blended
+over the reference's 50-step schedule with its warm-up fractions
+(first_layers_fp=0.025, first_times_fp=0.15 — hyvideo_t2v_inference.py +
+scripts/hyvideo/hyvideo_t2v_720p_svg.sh).
+
+Memory strategy (13B bf16 = 25 GB does not fit a 16 GB v5e chip; the
+reference measures on 80 GB H100s): weights use the framework's fp8
+weight-only storage (the reference's own --use-fp8 path,
+hyvideo_orig/modules/fp8_optimization.py) and the step time is measured at
+full sequence length on reduced-DEPTH models, then composed linearly:
+
+    t_step(d, s) = a + d*b_d + s*b_s        (a = embeds/refiner/final/rope)
+
+Block cost is depth-independent under lax.scan (one compiled block body), so
+two depth configs with the full model's 1:2 double:single ratio pin
+(a, b_unit) exactly; the full step is t(u=10) for unit=(2 double, 4 single).
+Both runtimes are measured identically; the fp8 dequant stream is a shared
+additive cost, which makes the reported ratio *conservative* vs bf16.
+The one warm dense layer inside sparse steps (first_layers = floor(.025*60)
+= 1 of 60) is modeled as 1/6 unit of the dense-vs-sparse block delta.
+
+Usage: python scripts/bench_hyvideo.py [--units 1 5] [--iters 2] [--small]
+Prints one JSON line on stdout; detail on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF_E2E = 1.91  # H100 hyvideo 720p T2V SVG speedup
+LFP, TFP = 0.025, 0.15
+NUM_STEPS = 50
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--units", type=int, nargs="+", default=[1, 2, 3],
+                    help="depth configs in units of (2 double + 4 single) blocks; "
+                         "a least-squares line through them gives (a, b_unit)")
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--small", action="store_true",
+                    help="360p x 33f smoke config (fast; for bring-up)")
+    ap.add_argument("--prompt_length", type=int, default=70)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_videogen_tpu.config import SVGConfig, WarmupSchedule
+    from sparse_videogen_tpu.models.hyvideo import model as HM
+    from sparse_videogen_tpu.pipelines.hyvideo import hyvideo_layout
+    from sparse_videogen_tpu.schedulers import FlowMatchEuler
+    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
+    from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+    from sparse_videogen_tpu.utils.benchmark import measure_fenced
+    from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        print(json.dumps({"metric": "hyvideo_720p_svg1_e2e_speedup", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0, "note": "no TPU"}))
+        return
+
+    if args.small:
+        height, width, frames = 384, 640, 33
+    else:
+        height, width, frames = 720, 1280, 129
+
+    base = HM.HYVIDEO_T2
+    layout = hyvideo_layout(base, height, width, frames)
+    layout = dataclasses.replace(layout, prompt_length=args.prompt_length)
+    sch = FlowMatchEuler(NUM_STEPS, shift=7.0)
+    n_layers_full = base.mm_double_blocks_depth + base.mm_single_blocks_depth  # 60
+    warm_full = WarmupSchedule.from_fractions(LFP, TFP, n_layers_full, sch.timesteps)
+    n_warm_steps = int(np.sum(np.asarray(sch.timesteps) > warm_full.first_times))
+    svg = SVGConfig(sparsity=0.25, num_sampled_rows=64, profile_multiplier=1.5)
+    plan = make_svg1_plan(layout, svg, WarmupSchedule(first_layers=0, first_times=1001.0))
+
+    # --- params: init ONE unit (2 double + 4 single) in bf16, fp8-quantize,
+    # then tile the stacked block axes to the measured depths. Weight values
+    # repeat across layers — irrelevant for throughput; avoids a 12.5 GB
+    # bf16 transient on the 16 GB chip.
+    unit_cfg = dataclasses.replace(base, mm_double_blocks_depth=2, mm_single_blocks_depth=4)
+    params_unit = quantize_linears_fp8(
+        HM.init_hyvideo_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16))
+
+    def tiled(params, u):
+        tile = lambda t: jax.tree.map(
+            lambda x: jnp.tile(x, (u,) + (1,) * (x.ndim - 1)), t)
+        out = dict(params)
+        out["double_blocks"] = tile(params["double_blocks"])
+        out["single_blocks"] = tile(params["single_blocks"])
+        return out
+
+    F_lat = 1 + (frames - 1) // 4
+    H_lat, W_lat = height // 8, width // 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, base.in_channels, F_lat, H_lat, W_lat), jnp.bfloat16)
+    text_states = jax.random.normal(jax.random.PRNGKey(2), (1, base.text_len, base.text_states_dim), jnp.bfloat16)
+    text_mask = (jnp.arange(base.text_len) < args.prompt_length).astype(jnp.int32)[None]
+    text_pooled = jax.random.normal(jax.random.PRNGKey(3), (1, base.text_states_dim_2), jnp.bfloat16)
+    guidance = jnp.full((1,), 6000.0, jnp.float32)
+    t_sparse = 500.0  # < warm threshold -> sparse path active
+
+    def step_time(runtime, cfg_r, params_r):
+        consts = runtime.consts()
+        nl = cfg_r.mm_double_blocks_depth + cfg_r.mm_single_blocks_depth
+
+        @jax.jit
+        def fwd(params, x, t, consts):
+            states = runtime.init_state(cfg_r.heads_num, cfg_r.head_dim, nl)
+            v, _ = HM.hyvideo_forward(
+                params, cfg_r, x, jnp.full((1,), t, jnp.float32),
+                text_states, text_mask, text_pooled, guidance=guidance,
+                attention=runtime, attn_states=states, attn_consts=consts,
+                rng=jax.random.PRNGKey(0))
+            return v
+
+        # per-run fenced timing: the axon tunnel kills the worker when too
+        # much execution time is enqueued unfenced (two crashes at this
+        # scale with batched-queue timing; per-run fencing is stable). RTT
+        # (~0.1 s) is noise against 15-70 s steps.
+        return measure_fenced(lambda: fwd(params_r, x, t_sparse, consts),
+                              iters=args.iters, warmup=1)
+
+    results = {}
+    for name, runtime in [("dense", DenseRuntime(plan, prompt_length=args.prompt_length)),
+                          ("svg1", SVG1Runtime(plan, prompt_length=args.prompt_length))]:
+        ts = []
+        for u in args.units:
+            cfg_r = dataclasses.replace(
+                base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
+            t = step_time(runtime, cfg_r, tiled(params_unit, u))
+            print(f"[bench_hyvideo] {name} u={u} ({2*u}d+{4*u}s, S={layout.seq_len}): "
+                  f"{t:.2f} s/step", file=sys.stderr)
+            ts.append(t)
+        us = np.asarray(args.units, np.float64)
+        tsa = np.asarray(ts)
+        b, a = np.polyfit(us, tsa, 1)
+        resid = float(np.max(np.abs(a + b * us - tsa)))
+        print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s, "
+              f"max fit residual {resid*1e3:.0f} ms", file=sys.stderr)
+        results[name] = {"a": a, "b_unit": b, "steps": ts}
+
+    U_FULL = n_layers_full // 6  # 10 units = 20 double + 40 single
+    t_dense = results["dense"]["a"] + U_FULL * results["dense"]["b_unit"]
+    # sparse step: first_layers(=1 of 60) layers run dense inside it
+    warm_frac_units = warm_full.first_layers / 6.0
+    t_svg = (results["svg1"]["a"] + U_FULL * results["svg1"]["b_unit"]
+             + warm_frac_units * (results["dense"]["b_unit"] - results["svg1"]["b_unit"]))
+    e2e_dense = NUM_STEPS * t_dense
+    e2e_svg = n_warm_steps * t_dense + (NUM_STEPS - n_warm_steps) * t_svg
+    speedup = e2e_dense / e2e_svg
+
+    print(f"[bench_hyvideo] composed full-depth: dense {t_dense:.2f} s/step, "
+          f"svg1 {t_svg:.2f} s/step (step {t_dense/t_svg:.2f}x); blend with "
+          f"{n_warm_steps} dense warm steps -> e2e {speedup:.3f}x "
+          f"(ref H100 {REF_E2E}x)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "hyvideo_720p_svg1_e2e_speedup",
+        "value": round(speedup, 3), "unit": "x",
+        "vs_baseline": round(speedup / REF_E2E, 3),
+        "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

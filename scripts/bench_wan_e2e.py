@@ -1,0 +1,136 @@
+"""Wan 2.1 720p end-to-end DiT benchmark: dense vs SVG1 vs SAP (SVG2).
+
+Honest e2e-vs-e2e comparison: times the FULL Wan 1.3B DiT forward (30-layer
+scan, CFG pair, patchify/AdaLN/self-attn/cross-attn/FFN/unpatchify) at 720p
+token count (S=75,600) on one TPU chip, then blends over the reference's
+50-step denoise schedule with its warm-up fractions:
+
+- SVG1: first_times_fp=0.075, first_layers_fp=0.025
+  (/root/reference/wan_t2v_inference.py:84-97 defaults); ref 1.51x H100 e2e
+  (/root/reference/README.md:127).
+- SAP: qc=300 kc=1000 top_p=0.9 min_kc_ratio=0.10 iter_init=50 iter_step=2,
+  first_times_fp=0.2 first_layers_fp=0.03
+  (/root/reference/scripts/wan/wan_t2v_720p_sap.sh); the blend charges the
+  cold-start k-means step (iter_init=50 Lloyd iterations) once at the first
+  sparse step and the warm-start cost (iter_step=2) for the rest — the
+  reference's kmeans_iter_init/step semantics (svg/kmeans_utils.py:685-734).
+  Ref claim ~2x generation speedup for SVG2 (/root/reference/README.md:18).
+
+Prints ONE JSON line with both blends; detail on stderr.
+
+Notes: 1.3B config at 720p sequence length (the 14B does not fit one v5e
+chip); attention dominates at S=75,600 so the DiT-level speedup is the e2e
+driver for both sizes. Random bf16 weights (speed is weight-independent).
+The SVG1 step includes the online profiler + placement; the SAP steps
+include k-means, dynamic-map selection, permutation and inverse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NUM_STEPS = 50
+SVG_TFP, SVG_LFP = 0.075, 0.025
+SAP_TFP, SAP_LFP = 0.2, 0.03
+REF_SVG = 1.51  # reference Wan 720p T2V e2e speedup, H100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig, VideoLayout, WarmupSchedule
+    from sparse_videogen_tpu.models.wan import model as WM
+    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
+    from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+    from sparse_videogen_tpu.utils.benchmark import measure
+
+    if jax.devices()[0].platform != "tpu":
+        print(json.dumps({"metric": "wan_720p_svg1_e2e_speedup", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0, "note": "no TPU"}))
+        return
+
+    cfg = WM.WAN_1_3B
+    F, H, W = 21, 90, 160  # 720p, 81 frames -> latent (16,21,90,160)
+    layout = VideoLayout(num_frames=F, frame_size=(H // 2) * (W // 2))
+    timesteps = np.linspace(1000.0, 0.0, NUM_STEPS, endpoint=False)
+    warmup_svg = WarmupSchedule.from_fractions(SVG_LFP, SVG_TFP, cfg.num_layers, timesteps)
+    warmup_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, cfg.num_layers, timesteps)
+    plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warmup_svg)
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p=0.9,
+                        min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2)
+
+    params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B = 2  # CFG pair
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.in_dim, F, H, W), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    t_sparse = 500.0  # below every warm-up threshold -> sparse layers active
+
+    def make_fwd(runtime):
+        consts = runtime.consts()
+
+        @jax.jit
+        def fwd(params, x, t, ctx, states, consts):
+            v, states = WM.wan_forward(
+                params, cfg, x, jnp.full((B,), t, jnp.float32), ctx,
+                attention=runtime, attn_states=states, attn_consts=consts,
+                rng=jax.random.PRNGKey(0))
+            return v, states
+
+        states0 = runtime.init_state(B * cfg.num_heads, cfg.head_dim, cfg.num_layers)
+        return fwd, consts, states0
+
+    dense_fwd, dense_consts, dse = make_fwd(DenseRuntime(plan))
+    t_dense = measure(lambda: dense_fwd(params, x, t_sparse, ctx, dse, dense_consts),
+                      iters=2, warmup=1)
+    print(f"[bench_wan] dense step {t_dense:.2f} s", file=sys.stderr)
+
+    svg_fwd, svg_consts, sse = make_fwd(SVG1Runtime(plan))
+    t_svg = measure(lambda: svg_fwd(params, x, t_sparse, ctx, sse, svg_consts),
+                    iters=2, warmup=1)
+    print(f"[bench_wan] svg1 step {t_svg:.2f} s", file=sys.stderr)
+
+    # SAP: measure cold (fresh state, iter_init Lloyd) and warm (carried
+    # centroids, iter_step Lloyd) separately — lax.cond on state.initialized
+    sap_fwd, sap_consts, sap_s0 = make_fwd(
+        SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0)))
+    _, sap_s1 = sap_fwd(params, x, t_sparse, ctx, sap_s0, sap_consts)  # compile + warm state
+    t_sap_cold = measure(lambda: sap_fwd(params, x, t_sparse, ctx, sap_s0, sap_consts),
+                         iters=1, warmup=1)
+    t_sap_warm = measure(lambda: sap_fwd(params, x, t_sparse, ctx, sap_s1, sap_consts),
+                         iters=2, warmup=1)
+    print(f"[bench_wan] sap cold step {t_sap_cold:.2f} s, warm step {t_sap_warm:.2f} s",
+          file=sys.stderr)
+
+    # blends over the reference 50-step schedule
+    n_warm_svg = int(np.sum(timesteps > warmup_svg.first_times))
+    n_warm_sap = int(np.sum(timesteps > warmup_sap.first_times))
+    e2e_dense = NUM_STEPS * t_dense
+    e2e_svg = n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg
+    e2e_sap = (n_warm_sap * t_dense + t_sap_cold
+               + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
+    svg_speedup = e2e_dense / e2e_svg
+    sap_speedup = e2e_dense / e2e_sap
+
+    print(f"[bench_wan] wan 1.3B 720p (B=2 CFG, S={layout.seq_len}): "
+          f"svg1 e2e {svg_speedup:.3f}x ({n_warm_svg} dense warm steps), "
+          f"sap e2e {sap_speedup:.3f}x ({n_warm_sap} dense warm steps + 1 cold)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "wan_720p_svg1_e2e_speedup",
+        "value": round(svg_speedup, 3), "unit": "x",
+        "vs_baseline": round(svg_speedup / REF_SVG, 3),
+        "sap_e2e_speedup": round(sap_speedup, 3),
+        "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
+        "sap_cold_step_s": round(t_sap_cold, 3),
+        "sap_warm_step_s": round(t_sap_warm, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
