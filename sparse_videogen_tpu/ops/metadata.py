@@ -41,8 +41,70 @@ ENTRY_SCALE = 2048
 ENTRY_STRIDE = 2
 
 
+# meta[..., 0] packs n_cheap * N_CHEAP_SCALE + n_total (see classify_cheap_np;
+# builders emit plain n_total = n_cheap 0, which is identical under unpacking)
+N_CHEAP_SCALE = 4096
+
+
 def pack_window(lo, hi):
     return lo * ENTRY_SCALE + hi
+
+
+def classify_cheap_np(meta, spec, aux, *, block_q: int, block_kv: int, seq_q: int | None = None):
+    """Reorder each row's entries cheap-first; pack counts into entry 0.
+
+    A chunk is *cheap* when every (q, k) pair in [q-block rows] x [its
+    [lo, hi) window] is allowed by `spec` (mask_spec.full_block_allowed —
+    conservative scalar interval math), so the kernel's bias-only loop can
+    process it with no token-level predicate. Edge chunks keep the exact
+    predicate path. This removes the ~2x VPU masking tax from the interior
+    of band/text masks without any in-loop branch (the round-2 lax.cond
+    fast path lost 54% to broken software pipelining; two fori_loops with
+    static bodies pipeline fine).
+
+    q rows at/after seq_q are kernel padding whose outputs are discarded —
+    blocks fully inside padding are classified cheap unconditionally.
+
+    meta: (R, nQ, 1 + 2*cap) from chunk_meta_np/jnp (NOT runs-mode).
+    spec/aux: the exact values the kernel will run with (aux prompt scalars
+    as numpy). Returns a new meta array.
+    """
+    import numpy as _np
+
+    meta = _np.asarray(meta).copy()
+    if spec is None or getattr(spec, "kind", "none") == "none":
+        return meta
+    from sparse_videogen_tpu.ops.mask_spec import full_block_allowed
+
+    R, nQ, row_len = meta.shape
+    cap = (row_len - 1) // ENTRY_STRIDE
+    n = meta[..., 0] % N_CHEAP_SCALE  # (R, nQ)
+    idx = meta[..., 1::2][..., :cap]
+    win = meta[..., 2::2][..., :cap]
+    lo = win // ENTRY_SCALE
+    hi = win % ENTRY_SCALE
+    k0 = idx * SUB + lo
+    k1 = idx * SUB + hi - 1
+    q0 = (_np.arange(nQ, dtype=_np.int64) * block_q)[None, :, None]
+    q1 = q0 + block_q - 1
+    if seq_q is not None:
+        pad_block = q0 >= seq_q
+        q1 = _np.minimum(q1, seq_q - 1)
+    else:
+        pad_block = _np.zeros_like(q0, bool)
+    aux = None if aux is None else _np.asarray(aux)
+    cheap = _np.asarray(full_block_allowed(spec, q0, _np.maximum(q1, q0), k0, k1, aux))
+    cheap = (cheap | pad_block) & (hi > lo)
+    e = _np.arange(cap)[None, None, :]
+    valid = e < n[..., None]
+    key = _np.where(~valid, 2, _np.where(cheap, 0, 1)).astype(_np.int8)
+    order = _np.argsort(key, axis=-1, kind="stable")
+    out = meta.copy()
+    out[..., 1::2][..., :cap] = _np.take_along_axis(idx, order, axis=-1)
+    out[..., 2::2][..., :cap] = _np.take_along_axis(win, order, axis=-1)
+    n_cheap = _np.sum(cheap & valid, axis=-1)
+    out[..., 0] = n_cheap * N_CHEAP_SCALE + n
+    return out
 
 
 def meta_row_len(cap: int) -> int:
@@ -329,7 +391,7 @@ def decode_meta(meta, *, block_kv: int, seq_kv: int):
     out = np.zeros((R, nQ, seq_kv), bool)
     for r in range(R):
         for i in range(nQ):
-            n = meta[r, i, 0]
+            n = meta[r, i, 0] % N_CHEAP_SCALE
             for e in range(n):
                 idx = meta[r, i, 1 + 2 * e]
                 win = meta[r, i, 2 + 2 * e]

@@ -45,13 +45,36 @@ def _aux_for(plan, prompt_length):
     return jnp.zeros((4,), jnp.int32)
 
 
+def _classified(meta, spec, plan, prompt_length, block_q):
+    """Cheap-first metadata reordering (ops/metadata.classify_cheap_np): the
+    kernel's bias-only loop handles interior chunks, only mask edges pay the
+    token predicate. aux here must equal the runtime aux bit-for-bit."""
+    import numpy as np
+
+    from sparse_videogen_tpu.ops import metadata as MD
+
+    aux_np = np.asarray(_aux_for(plan, prompt_length))
+    return jnp.asarray(
+        MD.classify_cheap_np(
+            meta, spec, aux_np,
+            block_q=block_q, block_kv=plan.block_kv, seq_q=plan.layout.seq_len,
+        )
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseRuntime:
     plan: SVG1Plan  # only dense_meta/layout/block sizes are used
     prompt_length: int | None = None
 
     def consts(self):
-        return {"dense_meta": self.plan.dense_meta(), "aux": _aux_for(self.plan, self.prompt_length)}
+        return {
+            "dense_meta": _classified(
+                self.plan.dense_meta(), self.plan.dense_mask_spec, self.plan,
+                self.prompt_length, self.plan.dense_exec[0],
+            ),
+            "aux": _aux_for(self.plan, self.prompt_length),
+        }
 
     def init_state(self, batch_heads, head_dim, n_layers):
         return _empty_state(n_layers)
@@ -67,9 +90,18 @@ class SVG1Runtime:
 
     def consts(self):
         pc = self.plan.placement_consts()
+        sparse_meta = self.plan.sparse_meta()
+        if not self.plan.inplace_temporal:
+            sparse_meta = _classified(
+                sparse_meta, self.plan.mask_spec, self.plan,
+                self.prompt_length, self.plan.block_q,
+            )
         return {
-            "dense_meta": self.plan.dense_meta(),
-            "sparse_meta": self.plan.sparse_meta(),
+            "dense_meta": _classified(
+                self.plan.dense_meta(), self.plan.dense_mask_spec, self.plan,
+                self.prompt_length, self.plan.dense_exec[0],
+            ),
+            "sparse_meta": sparse_meta,
             "gather": pc["gather"],
             "inv_gather": pc["inv_gather"],
             "aux": _aux_for(self.plan, self.prompt_length),
@@ -101,7 +133,13 @@ class SAPRuntime:
     warmup: WarmupSchedule
 
     def consts(self):
-        return {"dense_meta": self.plan.dense_meta(), "aux": _aux_for(self.plan, None)}
+        return {
+            "dense_meta": _classified(
+                self.plan.dense_meta(), self.plan.dense_mask_spec, self.plan,
+                None, self.plan.dense_exec[0],
+            ),
+            "aux": _aux_for(self.plan, None),
+        }
 
     def init_state(self, batch_heads, head_dim, n_layers):
         one = init_sap_state(batch_heads, head_dim, self.cfg)
