@@ -48,7 +48,7 @@ def main():
     from sparse_videogen_tpu.models.wan import model as WM
     from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
     from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
-    from sparse_videogen_tpu.utils.benchmark import measure
+    from sparse_videogen_tpu.utils.benchmark import measure_fenced as measure
 
     if jax.devices()[0].platform != "tpu":
         print(json.dumps({"metric": "wan_720p_svg1_e2e_speedup", "value": 0.0,
@@ -62,7 +62,7 @@ def main():
     warmup_svg = WarmupSchedule.from_fractions(SVG_LFP, SVG_TFP, cfg.num_layers, timesteps)
     warmup_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, cfg.num_layers, timesteps)
     plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warmup_svg)
-    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p=0.9,
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2)
 
     params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -96,15 +96,33 @@ def main():
     print(f"[bench_wan] svg1 step {t_svg:.2f} s", file=sys.stderr)
 
     # SAP: measure cold (fresh state, iter_init Lloyd) and warm (carried
-    # centroids, iter_step Lloyd) separately — lax.cond on state.initialized
-    sap_fwd, sap_consts, sap_s0 = make_fwd(
-        SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0)))
-    _, sap_s1 = sap_fwd(params, x, t_sparse, ctx, sap_s0, sap_consts)  # compile + warm state
-    t_sap_cold = measure(lambda: sap_fwd(params, x, t_sparse, ctx, sap_s0, sap_consts),
+    # centroids, iter_step Lloyd) separately — lax.cond on state.initialized.
+    # SAP runs cfg=1 (the reference's constraint, wan/attention.py:502; the
+    # pipeline runs cond/uncond as two B=1 forwards), so each measured
+    # forward is B=1 and a step costs 2x. This also keeps single executions
+    # ~35 s — the axon tunnel kills the worker when much more than ~2 min of
+    # execution is enqueued.
+    sap_rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
+    sap_consts = sap_rt.consts()
+    x1, ctx1 = x[:1], ctx[:1]
+
+    @jax.jit
+    def sap_fwd(params, x, t, ctx, states, consts):
+        v, states = WM.wan_forward(
+            params, cfg, x, jnp.full((1,), t, jnp.float32), ctx,
+            attention=sap_rt, attn_states=states, attn_consts=consts,
+            rng=jax.random.PRNGKey(0))
+        return v, states
+
+    sap_s0 = sap_rt.init_state(cfg.num_heads, cfg.head_dim, cfg.num_layers)
+    out = sap_fwd(params, x1, t_sparse, ctx1, sap_s0, sap_consts)
+    jax.block_until_ready(out)  # compile + fence before timed runs
+    sap_s1 = out[1]
+    t_sap_cold = measure(lambda: sap_fwd(params, x1, t_sparse, ctx1, sap_s0, sap_consts),
                          iters=1, warmup=1)
-    t_sap_warm = measure(lambda: sap_fwd(params, x, t_sparse, ctx, sap_s1, sap_consts),
+    t_sap_warm = measure(lambda: sap_fwd(params, x1, t_sparse, ctx1, sap_s1, sap_consts),
                          iters=2, warmup=1)
-    print(f"[bench_wan] sap cold step {t_sap_cold:.2f} s, warm step {t_sap_warm:.2f} s",
+    print(f"[bench_wan] sap (B=1) cold fwd {t_sap_cold:.2f} s, warm fwd {t_sap_warm:.2f} s",
           file=sys.stderr)
 
     # blends over the reference 50-step schedule
@@ -112,8 +130,10 @@ def main():
     n_warm_sap = int(np.sum(timesteps > warmup_sap.first_times))
     e2e_dense = NUM_STEPS * t_dense
     e2e_svg = n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg
-    e2e_sap = (n_warm_sap * t_dense + t_sap_cold
-               + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
+    # SAP steps are 2 x B=1 forwards (cond + uncond); each stream pays one
+    # cold (iter_init) forward at its first sparse step
+    e2e_sap = (n_warm_sap * t_dense + 2 * t_sap_cold
+               + (NUM_STEPS - n_warm_sap - 1) * 2 * t_sap_warm)
     svg_speedup = e2e_dense / e2e_svg
     sap_speedup = e2e_dense / e2e_sap
 

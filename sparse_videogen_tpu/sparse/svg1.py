@@ -63,22 +63,25 @@ class SVG1Plan:
     def dense_exec(self):
         """(block_q, qsplit) for the DENSE path. Measured (v5e, Wan 720p):
         unmasked dense runs fastest at bq=2048 with 8 ping-pong q sub-tiles
-        (563 -> 477 ms, -15%); masked paths (hyvideo/cog dense predicates,
-        SVG1 sparse) prefer bq=512 with qsplit=2 (the full-tile predicate
-        per sub-tile eats the overlap win beyond that)."""
+        (563 -> 477 ms, -15%). Masked dense (hyvideo/cog predicates) with
+        cheap-first two-phase metadata runs fastest at bq=1024 qsplit=4
+        (scripts/bench_masked_kernel.py: hyv-dense 2754 -> 1259 ms at
+        S=119k; qsplit=8 regresses to 1442)."""
         if self.dense_mask_spec.kind == "none" and self.seq_pad_kv >= 2048:
             bq = min(2048, -(-self.layout.seq_len // 128) * 128)
             qsplit = max(1, min(8, bq // 256))
         else:
             bq = self.block_q
-            qsplit = max(1, min(2, bq // 128))
+            qsplit = max(1, min(4, bq // 256))
         while bq % qsplit or (bq // qsplit) % 8:
             qsplit -= 1
         return bq, qsplit
 
     @property
     def sparse_qsplit(self) -> int:
-        q = max(1, min(2, self.block_q // 128))
+        """Measured with two-phase metadata: band masks fastest at bq=1024
+        qsplit=4 (193 ms vs 202 at the old bq=512/qsplit=2, Wan 720p)."""
+        q = max(1, min(4, self.block_q // 256))
         while self.block_q % q or (self.block_q // q) % 8:
             q -= 1
         return q
@@ -244,16 +247,23 @@ def make_svg1_plan(
     cfg: SVGConfig = SVGConfig(),
     warmup: WarmupSchedule = WarmupSchedule(),
     *,
-    block_q: int = 512,
+    block_q: int | None = None,
     block_kv: int = 1024,
     mask_kind: str | None = None,
     inplace_temporal: bool = False,
 ) -> SVG1Plan:
     """block_kv=1024 measured fastest on v5e (scripts/bench_kernel.py: dense
-    127 vs 117 TFLOPs at Wan-720p scale); clamped for short sequences."""
+    127 vs 117 TFLOPs at Wan-720p scale); clamped for short sequences.
+
+    block_q default: 1024 at production sequence lengths, 512 below — with
+    cheap-first metadata (two-phase kernel loop) the masked paths measured
+    fastest at bq=1024 qsplit=4 (scripts/bench_masked_kernel.py: SVG1 band
+    247 -> 193 ms, hyvideo dense 2754 -> 1259 ms at 720p scales)."""
     from sparse_videogen_tpu.config import TextPosition
 
     s_pad = -(-layout.seq_len // 128) * 128
+    if block_q is None:
+        block_q = 1024 if layout.seq_len >= 8192 else 512
     block_kv = min(block_kv, s_pad)
     block_q = min(block_q, s_pad)
     mul = core_masks.sparsity_to_width(
