@@ -19,6 +19,12 @@ scale = sys.argv[1] if len(sys.argv) > 1 else "720p"
 if scale == "720p":
     B, H, S, D = 1, 40, 75600, 128
     cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, max_runs=256)
+elif scale == "wan13b":
+    # the exact bench_wan_e2e SAP config: wan 1.3B heads, reference 720p SAP
+    # flags incl. min_kc_ratio=0.10 and default (exact) max_runs
+    B, H, S, D = 1, 12, 75600, 128
+    cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
+                    min_kc_ratio=0.10, kmeans_iter_step=2)
 else:
     B, H, S, D = 1, 12, 32760, 128
     cfg = SAPConfig(num_q_centroids=50, num_k_centroids=200, max_runs=128)

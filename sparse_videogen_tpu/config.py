@@ -144,6 +144,11 @@ class SAPConfig:
     # relabeling keeps real run counts small); rows with more runs are
     # truncated (missing attention) — keep a safety margin.
     max_runs: int | None = None
+    # BENCHMARK-ONLY: pin the dynamic map to exactly this cluster fraction
+    # instead of the top-p selection (svg2.sap_sparse_attention). Random
+    # weights give degenerate (~90%) top-p density; real video sits at
+    # 10-30%. None = real top-p selection (production).
+    force_density: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)

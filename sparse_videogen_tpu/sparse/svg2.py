@@ -198,6 +198,20 @@ def sap_sparse_attention(
         cfg.top_p_kmeans,
         cfg.min_kc_ratio,
     )
+    if cfg.force_density is not None:
+        # BENCHMARK-ONLY override: with random weights the centroid attention
+        # is flat and top-p selects ~90% of clusters — nothing like real
+        # video statistics (the reference's density telemetry sits around
+        # 10-30% at top_p=0.9). This pins the dynamic map to an exact
+        # cluster fraction so system cost can be measured at a controlled,
+        # representative density; every other stage (k-means, permutation,
+        # run metadata, kernel) stays the real computation.
+        import math as _math
+
+        kcn = _math.ceil(cfg.force_density * KC)
+        dyn = jnp.broadcast_to(
+            (jnp.arange(KC) < kcn)[None, None, None, :], dyn.shape
+        )
     density = density_calculation(dyn, qsz.reshape(B, H, QC), ksz.reshape(B, H, KC))
 
     # 3. popularity relabel (coalesces kv runs; output-invariant)
