@@ -139,10 +139,12 @@ meta = metaside(dyn_f, ksz2, qmaps)
 t = measure(lambda: metaside(dyn_f, ksz2, qmaps), iters=3, warmup=1)
 print(f"[6 run meta+expand]  {t*1e3:7.1f} ms", flush=True)
 
-kern = jax.jit(lambda qp, kv, meta: block_sparse_attention_runs(qp, kv, meta, block_q=bq, block_kv=bkv))
-out_pad = kern(qp, kv, meta)
-t = measure(lambda: kern(qp, kv, meta), iters=3, warmup=1)
-print(f"[7 kernel]           {t*1e3:7.1f} ms", flush=True)
+for qs in (1, 2, 4):
+    kern = jax.jit(lambda qp, kv, meta, qs=qs: block_sparse_attention_runs(
+        qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=qs))
+    out_pad = kern(qp, kv, meta)
+    t = measure(lambda: kern(qp, kv, meta), iters=3, warmup=1)
+    print(f"[7 kernel qsplit={qs}] {t*1e3:7.1f} ms", flush=True)
 
 @jax.jit
 def inv(out_pad, qmaps):

@@ -127,8 +127,20 @@ def padded_permutation(labels, sizes, *, n_clusters: int, block: int, s_pad: int
     # g + (pad_off - start)[lab_sorted[g]] (cumulative padding inserted before
     # the token's cluster); sorting it by perm (payload trick) yields pos
     # without an inverse-permutation gather.
+    #
+    # The per-token lookup is GATHER-FREE: lab_sorted is non-decreasing and
+    # cumpad = pad_off - start is non-decreasing in the cluster id, so
+    # scatter each cluster's padding increment at its first sorted position
+    # (scatter-add absorbs empty clusters' coincident starts; clusters with
+    # start == N have no tokens and are dropped) and cumsum over g. This
+    # replaced a chunked one-hot matmul that moved ~4 GB at Wan-720p scale
+    # (the dominant cost of the SAP index build).
     g = jnp.arange(N, dtype=jnp.int32)[None, :]
-    dest_sorted = g + gather_small_i32(pad_off - start, lab_sorted, C)
+    cumpad = pad_off - start  # (B, C), non-decreasing
+    inc = jnp.diff(cumpad, axis=-1, prepend=jnp.zeros_like(cumpad[..., :1]))
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    A = jnp.zeros((B, N), jnp.int32).at[bidx, start].add(inc, mode="drop")
+    dest_sorted = g + jnp.cumsum(A, axis=-1)
     _, pos = jax.lax.sort_key_val(perm, dest_sorted, dimension=-1)
 
     return dict(

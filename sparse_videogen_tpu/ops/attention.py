@@ -508,6 +508,7 @@ def _runs_kernel(
     meta_rows: int,
     nbuf: int,
     nsub: int,
+    qsplit: int = 1,
     return_stats: bool = False,
 ):
     if return_stats:
@@ -578,9 +579,18 @@ def _runs_kernel(
     # scale folded into q once per grid step (saves a (block_q, block_kv)
     # f32 multiply per chunk)
     q_s = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # ping-pong q sub-tiles (same trick as the chunked kernel): independent
+    # per-sub-tile softmax chains against the shared KV chunk let Mosaic
+    # hide one tile's VPU softmax under another's MXU matmuls. At bq=128
+    # the sub-tiles are (64, D) — MXU-underfull, but the runs kernel is
+    # VPU-dominated at D=128 so the overlap is what matters (measured via
+    # scripts/bench_sap_breakdown.py).
+    SQ = block_q // qsplit
+    q_tiles = [q_s[t * SQ : (t + 1) * SQ] for t in range(qsplit)]
 
     def body(j, carry):
-        acc, m, l, rc, kc, rp, kp = carry
+        rc, kc, rp, kp = carry[-4:]
+        states = list(carry[:-4])
         slot = j % nbuf
 
         idx_p, _, _ = chunk_of(rp, kp)
@@ -596,51 +606,64 @@ def _runs_kernel(
         k_blk = kvbuf[slot][:, :D]
         v_blk = kvbuf[slot][:, D:]
 
-        s = jax.lax.dot_general(
-            q_s, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-        if mask_spec.kind != "none":
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-            allowed = (col >= lo) & (col < hi)
-            qpos = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
-            kpos = idx * SUB + col
-            allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
-            s = jnp.where(allowed, s, NEG_INF)
-        else:
+        if mask_spec.kind == "none":
             # [lo, hi) is row-independent: mask via a broadcast column bias
-            # (8, block_kv) instead of full-tile iota/compare/select (the
-            # chunked kernel's mask_spec="none" fast path; runs are non-empty
-            # so every row sees >= 1 live column per chunk)
+            # (8, block_kv) instead of full-tile iota/compare/select (runs
+            # are non-empty so every row sees >= 1 live column per chunk)
             colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
             bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
-            s = s + bias[:1]
 
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        if mask_spec.kind != "none":
-            p = jnp.where(allowed, p, 0.0)
-        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype),
-            v_blk,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc * alpha + pv
+        for t in range(qsplit):
+            acc, m, l = states[3 * t : 3 * t + 3]
+            s = jax.lax.dot_general(
+                q_tiles[t], k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mask_spec.kind != "none":
+                col = jax.lax.broadcasted_iota(jnp.int32, (SQ, block_kv), 1)
+                allowed = (col >= lo) & (col < hi)
+                qpos = i * block_q + t * SQ + jax.lax.broadcasted_iota(
+                    jnp.int32, (SQ, block_kv), 0
+                )
+                kpos = idx * SUB + col
+                allowed = allowed & apply_mask_spec(mask_spec, qpos, kpos, aux_ref)
+                s = jnp.where(allowed, s, NEG_INF)
+            else:
+                s = s + bias[:1]
+
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            if mask_spec.kind != "none":
+                p = jnp.where(allowed, p, 0.0)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            states[3 * t : 3 * t + 3] = [acc * alpha + pv, m_new, l]
         rc, kc = advance(rc, kc)
-        return (acc, m_new, l, rc, kc, rp, kp)
+        return tuple(states) + (rc, kc, rp, kp)
 
-    acc0 = jnp.zeros((block_q, D), jnp.float32)
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    init = ()
+    for _ in range(qsplit):
+        init += (
+            jnp.zeros((SQ, D), jnp.float32),
+            jnp.full((SQ, 1), NEG_INF, jnp.float32),
+            jnp.zeros((SQ, 1), jnp.float32),
+        )
     z = jnp.int32(0)
-    acc, m, l, *_ = jax.lax.fori_loop(0, n, body, (acc0, m0, l0, z, z, rp, kp))
-    o = acc / jnp.maximum(l, 1e-20)
+    out_states = jax.lax.fori_loop(0, n, body, init + (z, z, rp, kp))
+    o = jnp.concatenate(
+        [out_states[3 * t] / jnp.maximum(out_states[3 * t + 2], 1e-20)
+         for t in range(qsplit)],
+        axis=0,
+    )
+    m = jnp.concatenate([out_states[3 * t + 1] for t in range(qsplit)], axis=0)
+    l = jnp.concatenate([out_states[3 * t + 2] for t in range(qsplit)], axis=0)
     if mask_spec.kind == "none":
         # bias-path safety: rows that saw no chunk at all (n == 0) keep
         # m == NEG_INF -> zero them (matches the chunked kernel)
@@ -653,7 +676,7 @@ def _runs_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "interpret", "return_stats"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "interpret", "return_stats"),
 )
 def block_sparse_attention_runs(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -666,6 +689,7 @@ def block_sparse_attention_runs(
     mask_spec: MaskSpec = MaskSpec(),
     scale: float | None = None,
     nbuf: int = 3,
+    qsplit: int = 1,
     interpret: bool | None = None,
     return_stats: bool = False,
 ):
@@ -693,6 +717,7 @@ def block_sparse_attention_runs(
     if not interpret:
         assert D2 % 128 == 0, f"packed KV minor dim {D2} must be a multiple of 128"
 
+    assert block_q % qsplit == 0 and (block_q // qsplit) % 8 == 0, (block_q, qsplit)
     kernel = functools.partial(
         _runs_kernel,
         block_q=block_q,
@@ -703,6 +728,7 @@ def block_sparse_attention_runs(
         meta_rows=R,
         nbuf=nbuf,
         nsub=Skv // SUB,
+        qsplit=qsplit,
         return_stats=return_stats,
     )
 
