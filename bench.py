@@ -52,7 +52,15 @@ def main():
                           "unit": "x", "vs_baseline": 0.0, "note": "no TPU available"}))
         return
 
-    wan = run_sub("bench_wan_e2e.py")
+    def safe(script, args=()):
+        try:
+            return run_sub(script, args)
+        except Exception as e:
+            sys.stderr.write(f"[bench] {script} failed: {e}\n")
+            return {}
+
+    wan = safe("bench_wan_e2e.py")
+    wan14 = safe("bench_wan14b.py")
     hyv = run_sub("bench_hyvideo.py")
 
     out = {
@@ -66,6 +74,9 @@ def main():
         "wan_720p_svg1_vs_ref": wan.get("vs_baseline"),
         "wan_720p_sap_e2e_speedup": wan.get("sap_e2e_speedup"),
         "wan_dense_step_s": wan.get("dense_step_s"),
+        "wan14b_720p_svg1_e2e_speedup": wan14.get("value"),
+        "wan14b_720p_svg1_vs_ref": wan14.get("vs_baseline"),
+        "wan14b_720p_sap_e2e_speedup": wan14.get("sap_e2e_speedup"),
     }
     print(json.dumps(out))
 

@@ -46,7 +46,7 @@ NUM_STEPS = 50
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--units", type=int, nargs="+", default=[1, 2, 3],
+    ap.add_argument("--units", type=int, nargs="+", default=[1, 3],
                     help="depth configs in units of (2 double + 4 single) blocks; "
                          "a least-squares line through them gives (a, b_unit)")
     ap.add_argument("--iters", type=int, default=2)

@@ -1,0 +1,156 @@
+"""Wan 2.1 **14B** 720p e2e TPU benchmark — the model the reference's 720p
+rows actually measure (dense 31:35 vs SVG 20:51 = 1.51x on H100,
+/root/reference/README.md:127; SVG2 ~2x claim README.md:18).
+
+Same methodology as bench_hyvideo.py (validated there with 1 ms fit
+residuals): 14B bf16 = 28 GB does not fit a 16 GB v5e, so weights are fp8
+(the reference's own --use-fp8 trick) and step time is measured at full
+sequence (S=75,600) on reduced depths, then composed linearly
+t(L) = a + L*b. One unit = 4 layers; full model = 10 units (40 layers).
+
+Per pattern: everything runs B=1 with cond/uncond as two forwards per step
+(14B activations at B=2 with SVG1's placement copies exceed 16 GB HBM — a
+real single-chip constraint; every pattern pays the same x2 so ratios are
+unaffected). SAP additionally uses force_density=0.25 (random weights
+degenerate the top-p map to ~90%; the reference's density telemetry on real
+video is 10-30%); cold (iter_init=50) charged once per stream.
+
+At H=40 heads the SAP glue (k-means, permutation, metadata) amortizes far
+better than at the 1.3B's 12 heads — this is the geometry where round-2
+measured the 2.13x op-level SAP win.
+
+Prints one JSON line; detail on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NUM_STEPS = 50
+SVG_TFP, SVG_LFP = 0.075, 0.025
+SAP_TFP, SAP_LFP = 0.2, 0.03
+REF_SVG = 1.51
+UNIT = 4  # layers per depth unit
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--units", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--density", type=float, default=0.25)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig, VideoLayout, WarmupSchedule
+    from sparse_videogen_tpu.models.wan import model as WM
+    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
+    from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+    from sparse_videogen_tpu.utils.benchmark import measure_fenced
+    from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+
+    if jax.devices()[0].platform != "tpu":
+        print(json.dumps({"metric": "wan14b_720p_svg1_e2e_speedup", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0, "note": "no TPU"}))
+        return
+
+    base = WM.WAN_14B
+    F, H, W = 21, 90, 160
+    layout = VideoLayout(num_frames=F, frame_size=(H // 2) * (W // 2))
+    timesteps = np.linspace(1000.0, 0.0, NUM_STEPS, endpoint=False)
+    warm_svg = WarmupSchedule.from_fractions(SVG_LFP, SVG_TFP, base.num_layers, timesteps)
+    warm_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, base.num_layers, timesteps)
+    plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm_svg)
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
+                        min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
+                        force_density=args.density)
+
+    unit_cfg = dataclasses.replace(base, num_layers=UNIT)
+    params_unit = WM.init_wan_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16)
+    params_unit["blocks"] = quantize_linears_fp8(params_unit["blocks"])
+
+    def tiled(u):
+        out = dict(params_unit)
+        out["blocks"] = jax.tree.map(
+            lambda x: jnp.tile(x, (u,) + (1,) * (x.ndim - 1)), params_unit["blocks"])
+        return out
+
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (2, base.in_dim, F, H, W), jnp.bfloat16)
+    ctx2 = jax.random.normal(jax.random.PRNGKey(2), (2, base.text_len, base.text_dim), jnp.bfloat16)
+    t_sparse = 500.0
+
+    def step_time(runtime, B, u, warm_state=False):
+        cfg_r = dataclasses.replace(base, num_layers=UNIT * u)
+        consts = runtime.consts()
+        x, ctx = x2[:B], ctx2[:B]
+
+        @jax.jit
+        def fwd(params, x, t, ctx, states, consts):
+            v, states = WM.wan_forward(
+                params, cfg_r, x, jnp.full((B,), t, jnp.float32), ctx,
+                attention=runtime, attn_states=states, attn_consts=consts,
+                rng=jax.random.PRNGKey(0))
+            return v, states
+
+        params_r = tiled(u)
+        s0 = runtime.init_state(B * cfg_r.num_heads, cfg_r.head_dim, cfg_r.num_layers)
+        if warm_state:
+            out = fwd(params_r, x, t_sparse, ctx, s0, consts)
+            jax.block_until_ready(out)
+            s0 = out[1]
+        return measure_fenced(lambda: fwd(params_r, x, t_sparse, ctx, s0, consts),
+                              iters=args.iters, warmup=1)
+
+    def fit(name, runtime, B, warm_state=False):
+        ts = []
+        for u in args.units:
+            t = step_time(runtime, B, u, warm_state)
+            print(f"[bench_wan14b] {name} u={u} ({UNIT*u} layers, B={B}): {t:.2f} s",
+                  file=sys.stderr, flush=True)
+            ts.append(t)
+        us = np.asarray(args.units, np.float64)
+        b, a = np.polyfit(us, np.asarray(ts), 1)
+        full = a + (base.num_layers // UNIT) * b
+        print(f"[bench_wan14b] {name}: full-depth {full:.2f} s "
+              f"(per-unit {b:.2f}, overhead {a:.2f})", file=sys.stderr, flush=True)
+        return full
+
+    t_dense = fit("dense", DenseRuntime(plan), 1)
+    t_svg = fit("svg1", SVG1Runtime(plan), 1)
+    sap_rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
+    t_sap_cold = fit("sap-cold", sap_rt, 1)
+    t_sap_warm = fit("sap-warm", sap_rt, 1, warm_state=True)
+
+    # steps = 2 x B=1 forwards for every pattern (see docstring)
+    n_warm_svg = int(np.sum(timesteps > warm_svg.first_times))
+    n_warm_sap = int(np.sum(timesteps > warm_sap.first_times))
+    e2e_dense = NUM_STEPS * 2 * t_dense
+    e2e_svg = 2 * (n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg)
+    e2e_sap = 2 * (n_warm_sap * t_dense + t_sap_cold
+                   + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
+    svg_speedup = e2e_dense / e2e_svg
+    sap_speedup = e2e_dense / e2e_sap
+    print(f"[bench_wan14b] svg1 e2e {svg_speedup:.3f}x, sap e2e {sap_speedup:.3f}x "
+          f"(density {args.density})", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "wan14b_720p_svg1_e2e_speedup",
+        "value": round(svg_speedup, 3), "unit": "x",
+        "vs_baseline": round(svg_speedup / REF_SVG, 3),
+        "sap_e2e_speedup": round(sap_speedup, 3),
+        "dense_step_s": round(2 * t_dense, 3), "svg1_step_s": round(2 * t_svg, 3),
+        "sap_cold_fwd_s": round(t_sap_cold, 3), "sap_warm_fwd_s": round(t_sap_warm, 3),
+        "sap_density": args.density,
+    }))
+
+
+if __name__ == "__main__":
+    main()
