@@ -31,6 +31,9 @@ def build_parser():
     p.add_argument("--skip_existing", action="store_true",
                    help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
     p.add_argument("--smoke", action="store_true")
+    from sparse_videogen_tpu.cli._parallel import add_parallel_flags
+
+    add_parallel_flags(p)
     return p
 
 
@@ -127,9 +130,13 @@ def main(argv=None):
             raw = CVAE.vae_encode(vae_params, vae_cfg, img[:, :, None])
             img_lat = CVAE.scale_latents(vae_cfg, raw)
 
+    from sparse_videogen_tpu.cli._parallel import mesh_and_shard
+
+    mesh, params = mesh_and_shard(args, params, logger)
     pipe = CogPipeline(cfg, params)
     lat = pipe.generate_latents(
         ctx, ctx_null, img_lat,
+        mesh=mesh,
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_step,
         guidance_scale=args.guidance_scale, use_dynamic_cfg=use_dynamic_cfg,

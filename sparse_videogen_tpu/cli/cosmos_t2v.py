@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--kmeans_iter_init", type=int, default=50)
     p.add_argument("--kmeans_iter_step", type=int, default=2)
     p.add_argument("--smoke", action="store_true")
+    from sparse_videogen_tpu.cli._parallel import add_parallel_flags
+
+    add_parallel_flags(p)
     return p
 
 
@@ -106,9 +109,13 @@ def main(argv=None):
         ctx_null = encode([args.negative_prompt]).astype(jnp.bfloat16)
         del t5_params
 
+    from sparse_videogen_tpu.cli._parallel import mesh_and_shard
+
+    mesh, params = mesh_and_shard(args, params, logger)
     pipe = CosmosPipeline(cfg, params)
     lat = pipe.generate_latents(
         ctx, ctx_null,
+        mesh=mesh,
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, fps=args.fps,

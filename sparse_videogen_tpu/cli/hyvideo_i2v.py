@@ -42,6 +42,9 @@ def build_parser():
     p.add_argument("--num_sampled_rows", type=int, default=64)
     p.add_argument("--sparsity", type=float, default=0.25)
     p.add_argument("--smoke", action="store_true")
+    from sparse_videogen_tpu.cli._parallel import add_parallel_flags
+
+    add_parallel_flags(p)
     return p
 
 
@@ -145,10 +148,14 @@ def main(argv=None):
         else:
             img_lat = HVV.vae_encode(vparams, vcfg, img_px[:, :, None])
 
+    from sparse_videogen_tpu.cli._parallel import mesh_and_shard
+
+    mesh, params = mesh_and_shard(args, params, logger)
     pipe = HyVideoPipeline(cfg, params)
     mask = jnp.asarray(mask)
     lat = pipe.generate_latents(
-        text, mask, pooled, prompt_length=int(np.asarray(mask)[0].sum()),
+        text, mask, pooled,
+        mesh=mesh, prompt_length=int(np.asarray(mask)[0].sum()),
         height=args.height, width=args.width, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         embedded_guidance_scale=args.embedded_guidance_scale,

@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--kmeans_iter_step", type=int, default=0)
     p.add_argument("--zero_step_kmeans_init", action="store_true")
     p.add_argument("--smoke", action="store_true")
+    from sparse_videogen_tpu.cli._parallel import add_parallel_flags
+
+    add_parallel_flags(p, dp=True)
     return p
 
 
@@ -167,9 +170,13 @@ def main(argv=None):
 
     latent_cond = build_i2v_condition(img_lat)
 
+    from sparse_videogen_tpu.cli._parallel import mesh_and_shard
+
+    mesh, params = mesh_and_shard(args, params, logger)
     pipe = WanPipeline(cfg, params)
     lat = pipe.generate_latents(
         ctx, ctx_null,
+        mesh=mesh,
         height=H, width=W, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, flow_shift=flow_shift,

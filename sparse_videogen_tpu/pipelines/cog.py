@@ -78,6 +78,7 @@ class CogPipeline:
         svg: SVGConfig = SVGConfig(num_sampled_rows=32, sparsity=0.25),
         seed: int = 0,
         callback=None,
+        mesh=None,  # dp x rp x sp device mesh (parallel/mesh.py)
     ):
         """Returns final latents (1, 16, F_lat, h, w) — front padding removed."""
         cfgm = self.model_cfg
@@ -92,6 +93,11 @@ class CogPipeline:
         runtime = (DenseRuntime if mode == SparseMode.DENSE else SVG1Runtime)(
             plan, prompt_length=cfgm.text_len
         )
+        if mesh is not None:
+            from sparse_videogen_tpu.parallel import parallelize_runtime
+
+            runtime = parallelize_runtime(runtime, mesh, plan, pattern=pattern,
+                                          prompt_length=cfgm.text_len)
 
         f_lat = 1 + (num_frames - 1) // VAE_TEMPORAL
         extra = (-f_lat) % cfgm.patch_size_t  # discarded after denoising

@@ -64,6 +64,7 @@ class CosmosPipeline:
         svg: SVGConfig = SVGConfig(),
         sap: SAPConfig = SAPConfig(),
         seed: int = 0,
+        mesh=None,  # dp x rp x sp device mesh (parallel/mesh.py)
     ):
         cfg = self.model_cfg
         layout = cosmos_layout(cfg, height, width, num_frames)
@@ -79,6 +80,11 @@ class CosmosPipeline:
             runtime = SVG1Runtime(plan)
         else:
             runtime = SAPRuntime(plan, sap, warmup)
+        if mesh is not None:
+            from sparse_videogen_tpu.parallel import parallelize_runtime
+
+            runtime = parallelize_runtime(runtime, mesh, plan, pattern=pattern,
+                                          sap=sap, warmup=warmup)
 
         F_lat = 1 + (num_frames - 1) // VAE_TEMPORAL
         H_lat, W_lat = height // VAE_SPATIAL, width // VAE_SPATIAL

@@ -62,3 +62,24 @@ def test_cli_pure_fsdp(tmp_path):
 def test_cli_svg_ring_rejected(tmp_path):
     with pytest.raises(ValueError, match="ulysses"):
         _run(tmp_path, "v.npz", ["--pattern", "SVG", "--ring_degree", "4"])
+
+
+def test_cli_cosmos_ulysses(tmp_path):
+    """Cosmos CLI through the shared parallel surface (2 smoke heads -> sp=2)."""
+    from sparse_videogen_tpu.cli import cosmos_t2v
+
+    out = str(tmp_path / "cm.npz")
+    cosmos_t2v.main(["--smoke", "--output_file", out, "--num_inference_steps", "2",
+                     "--pattern", "SVG", "--ulysses_degree", "2"])
+    lat = np.load(out)["latents"]
+    assert np.isfinite(lat).all()
+
+
+def test_cli_hyvideo_ulysses(tmp_path):
+    from sparse_videogen_tpu.cli import hyvideo_t2v
+
+    out = str(tmp_path / "hy.npz")
+    hyvideo_t2v.main(["--smoke", "--output_file", out, "--num_inference_steps", "2",
+                      "--pattern", "SVG", "--ulysses_degree", "4"])
+    lat = np.load(out)["latents"]
+    assert np.isfinite(lat).all()
