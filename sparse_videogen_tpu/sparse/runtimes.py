@@ -89,7 +89,6 @@ class SVG1Runtime:
     prompt_length: int | None = None
 
     def consts(self):
-        pc = self.plan.placement_consts()
         sparse_meta = self.plan.sparse_meta()
         if not self.plan.inplace_temporal:
             sparse_meta = _classified(
@@ -102,8 +101,6 @@ class SVG1Runtime:
                 self.prompt_length, self.plan.dense_exec[0],
             ),
             "sparse_meta": sparse_meta,
-            "gather": pc["gather"],
-            "inv_gather": pc["inv_gather"],
             "aux": _aux_for(self.plan, self.prompt_length),
         }
 
@@ -116,12 +113,12 @@ class SVG1Runtime:
         )
         out = jax.lax.cond(
             warm,
-            lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan, a[8]),
+            lambda a: dense_impl(a[0], a[1], a[2], a[4], self.plan, a[6]),
             lambda a: svg1_sparse_impl(
-                a[0], a[1], a[2], a[3], a[5], a[6], a[7], self.plan, a[8]
+                a[0], a[1], a[2], a[3], a[5], self.plan, a[6]
             ),
             (q, k, v, rng, consts["dense_meta"], consts["sparse_meta"],
-             consts["gather"], consts["inv_gather"], consts["aux"]),
+             consts["aux"]),
         )
         return out, state
 

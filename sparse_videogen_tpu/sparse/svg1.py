@@ -137,7 +137,7 @@ class SVG1Plan:
                 # traced literal. Materialize at host level first.
                 raise RuntimeError(
                     f"SVG1Plan.{key} must first be built outside jit: call "
-                    "plan.sparse_meta()/dense_meta()/placement_consts() (or "
+                    "plan.sparse_meta()/dense_meta() (or "
                     "the top-level svg1_* entries) at host level, then pass "
                     "the arrays through your jit's arguments."
                 )
@@ -215,19 +215,6 @@ class SVG1Plan:
             return jax.device_put(MD.chunk_meta_np(bm, counts, block_kv=self.block_kv))
 
         return self._build("dense_meta", build)
-
-    def placement_consts(self):
-        """Device arrays for the per-head placement (passed as jit args: as
-        MLIR constants the (S,) index tables push serialized programs past
-        the remote-compile size limit)."""
-        def build():
-            g, ginv = core_placement.placement_indices(self.layout)
-            return {
-                "gather": jax.device_put(jnp.asarray(g, jnp.int32)),
-                "inv_gather": jax.device_put(jnp.asarray(ginv, jnp.int32)),
-            }
-
-        return self._build("placement", build)
 
     def profile_preds(self):
         def build():
@@ -310,7 +297,7 @@ def _run_kernel(q, k, v, meta, plan, mask_spec, interpret, aux=None, *,
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
-def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *, interpret=None):
+def svg1_sparse_impl(q, k, v, rng, meta, plan: SVG1Plan, aux=None, *, interpret=None):
     """Sparse branch with metadata as an explicit operand.
 
     Metadata MUST flow in as a runtime argument: if it is captured as a
@@ -318,6 +305,9 @@ def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *
     differs from the (8,128)-tiled layout the kernel's DMA assumes — observed
     wrong reads and TPU worker crashes. Callers inside a larger jit must
     thread it through their own arguments (see sparse/runtimes.py consts()).
+
+    Placement is a reshape+transpose (core/placement.temporal_transpose), not
+    a gather — the round-2 (S,) index tables are gone from the arg list.
     """
     mses = sample_mse(
         q,
@@ -338,9 +328,10 @@ def svg1_sparse_impl(q, k, v, rng, meta, gidx, ginv, plan: SVG1Plan, aux=None, *
         aux_full = jnp.concatenate([aux4, flags])
         return _run_kernel(q, k, v, meta_bh, plan, plan.mask_spec_dual, interpret, aux_full)
     is_t = (best == 1)[..., None, None]
-    place = lambda x: jnp.where(is_t, jnp.take(x, gidx, axis=2), x)
+    place = lambda x: jnp.where(is_t, core_placement.temporal_transpose(x, plan.layout), x)
     o = _run_kernel(place(q), place(k), place(v), meta, plan, plan.mask_spec, interpret, aux)
-    return jnp.where(is_t, jnp.take(o, ginv, axis=2), o)
+    o_t = core_placement.temporal_transpose(o, plan.layout, inverse=True)
+    return jnp.where(is_t, o_t, o)
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
@@ -353,12 +344,8 @@ def dense_impl(q, k, v, meta, plan: SVG1Plan, aux=None, *, interpret=None):
 
 def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level sparse entry (fetches plan metadata as a device arg)."""
-    pc = plan.placement_consts()
     meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
-    return svg1_sparse_impl(
-        q, k, v, rng, meta, pc["gather"], pc["inv_gather"], plan, aux,
-        interpret=interpret,
-    )
+    return svg1_sparse_impl(q, k, v, rng, meta, plan, aux, interpret=interpret)
 
 
 def dense_attention_kernel(q, k, v, plan: SVG1Plan, aux=None, *, interpret=None):
@@ -375,15 +362,13 @@ def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, in
     """
     dense_meta = plan.dense_meta()
     sparse_meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
-    pc = plan.placement_consts()
     if layer_idx < plan.warmup.first_layers:
         return dense_impl(q, k, v, dense_meta, plan, interpret=interpret)
     return jax.lax.cond(
         timestep > plan.warmup.first_times,
         lambda args: dense_impl(args[0], args[1], args[2], args[4], plan, interpret=interpret),
         lambda args: svg1_sparse_impl(
-            args[0], args[1], args[2], args[3], args[5], args[6], args[7], plan,
-            interpret=interpret,
+            args[0], args[1], args[2], args[3], args[5], plan, interpret=interpret,
         ),
-        (q, k, v, rng, dense_meta, sparse_meta, pc["gather"], pc["inv_gather"]),
+        (q, k, v, rng, dense_meta, sparse_meta),
     )

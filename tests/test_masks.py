@@ -91,6 +91,32 @@ def test_temporal_index_map_text_first():
     np.testing.assert_array_equal((x + 3)[g[3:] - 3], x.reshape(2, 4).T.reshape(-1) + 3)
 
 
+def test_temporal_transpose_matches_gather():
+    """temporal_transpose (reshape+swapaxes) is bit-equal to the index-map
+    gather, forward and inverse, for every text position."""
+    from sparse_videogen_tpu.core import placement as P
+
+    layouts = [
+        VideoLayout(num_frames=3, frame_size=5),
+        VideoLayout(num_frames=3, frame_size=5, context_length=4,
+                    text_position=TextPosition.LAST),
+        VideoLayout(num_frames=2, frame_size=4, context_length=3,
+                    text_position=TextPosition.FIRST),
+    ]
+    rng = np.random.default_rng(0)
+    for lay in layouts:
+        g, ginv = P.placement_indices(lay)
+        x = rng.standard_normal((2, 3, lay.seq_len, 8), dtype=np.float32)
+        fwd = np.asarray(P.temporal_transpose(x, lay))
+        np.testing.assert_array_equal(fwd, x[:, :, g, :])
+        inv = np.asarray(P.temporal_transpose(x, lay, inverse=True))
+        np.testing.assert_array_equal(inv, x[:, :, ginv, :])
+        # round trip
+        np.testing.assert_array_equal(
+            np.asarray(P.temporal_transpose(P.temporal_transpose(x, lay), lay,
+                                            inverse=True)), x)
+
+
 def test_sparsity_to_width():
     # wan/utils.py:51-60 formula, ctx=0 -> width = seq*(1-sqrt(1-s))/fs
     w = M.sparsity_to_width(0.25, 0, 10, 100)
