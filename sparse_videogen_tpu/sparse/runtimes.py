@@ -35,14 +35,7 @@ def _empty_state(n_layers):
 
 def _aux_for(plan, prompt_length):
     """Dynamic mask scalars: aux[0] = real_len (hyvideo) / prompt_len (cog)."""
-    lay = plan.layout
-    if plan.mask_kind == "hyvideo":
-        pl_ = lay.context_length if prompt_length is None else prompt_length
-        return jnp.asarray([lay.video_length + pl_, 0, 0, 0], jnp.int32)
-    if plan.mask_kind == "cog":
-        pl_ = lay.context_length if prompt_length is None else prompt_length
-        return jnp.asarray([pl_, 0, 0, 0], jnp.int32)
-    return jnp.zeros((4,), jnp.int32)
+    return plan.default_aux(prompt_length)
 
 
 def _classified(meta, spec, plan, prompt_length, block_q):

@@ -120,6 +120,23 @@ class SVG1Plan:
             )
         return MaskSpec()
 
+    def default_aux(self, prompt_length: int | None = None):
+        """Dynamic mask scalars (aux[0]: hyvideo real_len / cog prompt_len).
+
+        Text-kind predicates REQUIRE aux — with aux zeroed the real/prompt
+        region is empty and every row masks to nothing (silent all-zero
+        output). Top-level entries default aux from the layout's
+        context_length via this method so `aux=None` is always safe; pass an
+        explicit aux (runtimes do) when the live prompt is shorter than the
+        padded context."""
+        lay = self.layout
+        pl = lay.context_length if prompt_length is None else prompt_length
+        if self.mask_kind == "hyvideo":
+            return jnp.asarray([lay.video_length + pl, 0, 0, 0], jnp.int32)
+        if self.mask_kind == "cog":
+            return jnp.asarray([pl, 0, 0, 0], jnp.int32)
+        return jnp.zeros((4,), jnp.int32)
+
     def _build(self, key, fn):
         # Metadata is cached as a *device array* (jax.device_put), never a
         # numpy constant: baking the metadata into a jitted program as an XLA
@@ -345,11 +362,15 @@ def dense_impl(q, k, v, meta, plan: SVG1Plan, aux=None, *, interpret=None):
 def svg1_sparse_attention(q, k, v, rng, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level sparse entry (fetches plan metadata as a device arg)."""
     meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
+    if aux is None:
+        aux = plan.default_aux()
     return svg1_sparse_impl(q, k, v, rng, meta, plan, aux, interpret=interpret)
 
 
 def dense_attention_kernel(q, k, v, plan: SVG1Plan, aux=None, *, interpret=None):
     """Top-level dense entry through the same kernel."""
+    if aux is None:
+        aux = plan.default_aux()
     return dense_impl(q, k, v, plan.dense_meta(), plan, aux, interpret=interpret)
 
 
@@ -362,13 +383,16 @@ def svg1_attention(q, k, v, timestep, rng, plan: SVG1Plan, layer_idx: int, *, in
     """
     dense_meta = plan.dense_meta()
     sparse_meta = plan.sparse_meta_dual() if plan.inplace_temporal else plan.sparse_meta()
+    aux = plan.default_aux()
     if layer_idx < plan.warmup.first_layers:
-        return dense_impl(q, k, v, dense_meta, plan, interpret=interpret)
+        return dense_impl(q, k, v, dense_meta, plan, aux, interpret=interpret)
     return jax.lax.cond(
         timestep > plan.warmup.first_times,
-        lambda args: dense_impl(args[0], args[1], args[2], args[4], plan, interpret=interpret),
+        lambda args: dense_impl(args[0], args[1], args[2], args[4], plan, args[6],
+                                interpret=interpret),
         lambda args: svg1_sparse_impl(
-            args[0], args[1], args[2], args[3], args[5], plan, interpret=interpret,
+            args[0], args[1], args[2], args[3], args[5], plan, args[6],
+            interpret=interpret,
         ),
-        (q, k, v, rng, dense_meta, sparse_meta),
+        (q, k, v, rng, dense_meta, sparse_meta, aux),
     )

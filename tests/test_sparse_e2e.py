@@ -283,3 +283,33 @@ def test_inplace_temporal_matches_placement():
                       sample_mse_max_row=cfg.sample_mse_max_row)
     best = np.asarray(best_mask_idx(mses))
     assert 0 < best.sum() < best.size, best
+
+
+def test_default_aux_text_kinds():
+    """aux=None on text-kind plans defaults from the layout.
+
+    Regression: text-kind predicates read aux[0] (real_len / prompt_len);
+    with aux zeroed the allowed region is empty and every top-level entry
+    silently returned all-zero output for cog/hyvideo plans."""
+    from sparse_videogen_tpu.config import TextPosition
+
+    rng = np.random.default_rng(5)
+    for pos in (TextPosition.FIRST, TextPosition.LAST):
+        lay = VideoLayout(num_frames=4, frame_size=96, context_length=128,
+                          text_position=pos)
+        plan = SVG1.make_svg1_plan(
+            lay, SVGConfig(num_sampled_rows=32, sparsity=0.5),
+            WarmupSchedule(first_layers=1, first_times=900.0),
+            block_q=128, block_kv=256)
+        q, k, v = make_qkv(rng, 1, 2, lay.seq_len, 32, lay)
+        key = jax.random.PRNGKey(3)
+        out_none = np.asarray(SVG1.svg1_sparse_attention(q, k, v, key, plan))
+        out_aux = np.asarray(
+            SVG1.svg1_sparse_attention(q, k, v, key, plan, aux=plan.default_aux()))
+        assert np.abs(out_none).max() > 1e-3, f"{pos}: zero output with aux=None"
+        np.testing.assert_array_equal(out_none, out_aux)
+        d_none = np.asarray(SVG1.dense_attention_kernel(q, k, v, plan))
+        assert np.abs(d_none).max() > 1e-3, f"{pos}: zero dense with aux=None"
+        w_none = np.asarray(
+            SVG1.svg1_attention(q, k, v, jnp.float32(500.0), key, plan, layer_idx=5))
+        np.testing.assert_array_equal(w_none, out_none)
