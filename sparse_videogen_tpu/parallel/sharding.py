@@ -18,8 +18,16 @@ def param_spec(shape, mesh: Mesh, min_size: int = 1 << 18) -> P:
     # min_size 256k elements: sharding smaller leaves saves <1 MB but makes
     # GSPMD reshard their consumers (e.g. the head projection's output add
     # triggered an involuntary-full-remat warning); replicate them instead.
+    # Exception: 2-D leaves whose LARGEST axis is the input/contracting axis
+    # (row-parallel, e.g. the DiT head projection dim->patch_out). These
+    # *consume* the trunk's feature-sharded activations in place (local dot
+    # + psum), while leaving them replicated makes GSPMD pick a
+    # batch-parallel dot and fully rematerialize the 1.5 MB head input every
+    # step — the last spmd_partitioner.cc warning in the r2 dryrun tail.
     """Shard the largest axis divisible by the full device count."""
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if len(shape) == 2 and shape[0] >= shape[1]:
+        min_size = min(min_size, 1 << 15)
     if np.prod(shape) < min_size:
         return P()
     # stacked per-layer params (ndim>=3) are sliced on axis 0 by the block
