@@ -6,23 +6,24 @@ counterpart: full HYVideo-T/2 architecture (double + single stream blocks,
 text-last layout with real_len aux, embedded guidance, B=1) at the exact
 720p x 129f token count S = 33*3600 + 256 = 119,056, dense vs SVG1, blended
 over the reference's 50-step schedule with its warm-up fractions
-(first_layers_fp=0.025, first_times_fp=0.15 — hyvideo_t2v_inference.py +
+(first_layers_fp=0.03, first_times_fp=0.1 —
 scripts/hyvideo/hyvideo_t2v_720p_svg.sh).
 
-Memory strategy (13B bf16 = 25 GB does not fit a 16 GB v5e chip; the
-reference measures on 80 GB H100s): weights use the framework's fp8
-weight-only storage (the reference's own --use-fp8 path,
-hyvideo_orig/modules/fp8_optimization.py) and the step time is measured at
-full sequence length on reduced-DEPTH models, then composed linearly:
+Memory/compute strategy (13B bf16 = 25 GB does not fit a 16 GB v5e chip;
+the reference measures on 80 GB H100s): block linears run int8 W8A8
+(utils/quant.quantize_linears_int8) — the v5e MXU's double-rate format and
+the TPU-native analog of the reference's own fp8 compute path
+(hyvideo_orig/modules/fp8_optimization.py) — and the step time is measured
+at full sequence length on reduced-DEPTH models, then composed linearly:
 
     t_step(d, s) = a + d*b_d + s*b_s        (a = embeds/refiner/final/rope)
 
 Block cost is depth-independent under lax.scan (one compiled block body), so
 two depth configs with the full model's 1:2 double:single ratio pin
 (a, b_unit) exactly; the full step is t(u=10) for unit=(2 double, 4 single).
-Both runtimes are measured identically; the fp8 dequant stream is a shared
-additive cost, which makes the reported ratio *conservative* vs bf16.
-The one warm dense layer inside sparse steps (first_layers = floor(.025*60)
+Both runtimes share the identical quantized linear stream, so the reported
+ratio is apples-to-apples.
+The one warm dense layer inside sparse steps (first_layers = floor(.03*60)
 = 1 of 60) is modeled as 1/6 unit of the dense-vs-sparse block delta.
 
 Usage: python scripts/bench_hyvideo.py [--units 1 5] [--iters 2] [--small]
@@ -40,7 +41,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REF_E2E = 1.91  # H100 hyvideo 720p T2V SVG speedup
-LFP, TFP = 0.025, 0.15
+# the reference's own 720p schedule: first_times_fp=0.1, first_layers_fp=0.03
+# (/root/reference/scripts/hyvideo/hyvideo_t2v_720p_svg.sh) -> 5 dense warm
+# steps of 50, floor(0.03*60)=1 warm layer. (An earlier revision used
+# TFP=0.15 = 7 warm steps — stricter than the reference's actual config.)
+LFP, TFP = 0.03, 0.1
 NUM_STEPS = 50
 
 
@@ -66,7 +71,7 @@ def main():
     from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
     from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
     from sparse_videogen_tpu.utils.benchmark import measure_fenced
-    from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+    from sparse_videogen_tpu.utils.quant import quantize_linears_int8
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
@@ -89,12 +94,15 @@ def main():
     svg = SVGConfig(sparsity=0.25, num_sampled_rows=64, profile_multiplier=1.5)
     plan = make_svg1_plan(layout, svg, WarmupSchedule(first_layers=0, first_times=1001.0))
 
-    # --- params: init ONE unit (2 double + 4 single) in bf16, fp8-quantize,
-    # then tile the stacked block axes to the measured depths. Weight values
-    # repeat across layers — irrelevant for throughput; avoids a 12.5 GB
-    # bf16 transient on the 16 GB chip.
+    # --- params: init ONE unit (2 double + 4 single) in bf16, int8-quantize
+    # (W8A8: the v5e's double-rate MXU format, the TPU analog of the
+    # reference's own fp8 compute path on H100 — also required for FIT: 13B
+    # bf16 = 25 GB vs 16 GB HBM; both runtimes share it so the ratio is
+    # honest), then tile the stacked block axes to the measured depths.
+    # Weight values repeat across layers — irrelevant for throughput; avoids
+    # a 12.5 GB bf16 transient on the 16 GB chip.
     unit_cfg = dataclasses.replace(base, mm_double_blocks_depth=2, mm_single_blocks_depth=4)
-    params_unit = quantize_linears_fp8(
+    params_unit = quantize_linears_int8(
         HM.init_hyvideo_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16))
 
     def tiled(params, u):

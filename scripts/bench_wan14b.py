@@ -56,7 +56,7 @@ def main():
     from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
     from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
     from sparse_videogen_tpu.utils.benchmark import measure_fenced
-    from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+    from sparse_videogen_tpu.utils.quant import quantize_linears_int8
 
     if jax.devices()[0].platform != "tpu":
         print(json.dumps({"metric": "wan14b_720p_svg1_e2e_speedup", "value": 0.0,
@@ -76,7 +76,7 @@ def main():
 
     unit_cfg = dataclasses.replace(base, num_layers=UNIT)
     params_unit = WM.init_wan_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16)
-    params_unit["blocks"] = quantize_linears_fp8(params_unit["blocks"])
+    params_unit["blocks"] = quantize_linears_int8(params_unit["blocks"])
 
     def tiled(u):
         out = dict(params_unit)

@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--use_fp8", action="store_true",
                    help="FP8 (e4m3) weight-only storage for block linears (reference --use-fp8)")
+    p.add_argument("--quant", choices=["none", "fp8", "int8"], default=None,
+                   help="block-linear quantization: fp8 = e4m3 weight-only storage "
+                        "(reference --use-fp8); int8 = W8A8 with int8 MXU matmuls "
+                        "(~1.6x bf16 on v5e, the TPU analog of the reference's fp8 compute)")
     # parallelism (reference parallel flag group, hyvideo_orig/config.py:351-369)
     p.add_argument("--ulysses_degree", type=int, default=1,
                    help="head-sharded sequence parallelism (all patterns)")
@@ -117,13 +121,16 @@ def main(argv=None):
         else:
             logger.warning(f"no {vae_dir}: saving latents instead of video")
 
-    if args.use_fp8:
-        from sparse_videogen_tpu.utils.quant import quantize_linears_fp8
+    quant = args.quant or ("fp8" if args.use_fp8 else "none")
+    if quant != "none":
+        from sparse_videogen_tpu.utils.quant import quantize_linears_fp8, quantize_linears_int8
 
+        qfn = quantize_linears_int8 if quant == "int8" else quantize_linears_fp8
         for key in ("double_blocks", "single_blocks"):
             if key in params:
-                params[key] = quantize_linears_fp8(params[key])
-        logger.info("fp8: block linears stored as e4m3 + per-layer scales")
+                params[key] = qfn(params[key])
+        logger.info(f"{quant}: block linears quantized "
+                    f"({'W8A8 int8 matmuls' if quant == 'int8' else 'e4m3 + per-layer scales'})")
 
     mesh = None
     if args.ulysses_degree * args.ring_degree > 1 or args.dit_fsdp:

@@ -12,6 +12,23 @@ import jax.numpy as jnp
 
 
 def linear(p, x):
+    if "wi8" in p:
+        # INT8 W8A8 (utils/quant.quantize_linears_int8): dynamic per-token
+        # activation scales + int8 MXU dot (~1.6x bf16 at production shapes
+        # — the v5e's double-rate format, analog of the reference's fp8
+        # compute on H100) + per-output-channel weight rescale.
+        w8 = p["wi8"]
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xi = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xi, w8, (((xi.ndim - 1,), (w8.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (y.astype(jnp.float32) * s * p["wscale"].reshape(-1)).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     if "w8" in p:
         # FP8 weight-only storage (utils/quant.py quantize_linears_fp8):
         # dequant fuses into the matmul consumer; compute stays in x.dtype,

@@ -179,13 +179,16 @@ def _double_block(p, cfg, img, txt, vec, cos, sin, t, rng, layer_idx, attn, stat
 
 
 def _col_slice(p, lo, hi, keep_bias=True):
-    """Column slice [lo:hi) of a linear's output dim, preserving fp8 storage
-    (per-tensor scale is column-invariant)."""
+    """Column slice [lo:hi) of a linear's output dim, preserving quantized
+    storage (fp8 per-tensor scale is column-invariant; int8 per-output-
+    channel wscale is sliced along with the columns)."""
     out = {k: v for k, v in p.items() if k in ("scale",)}
-    if "w8" in p:
-        out["w8"] = p["w8"][..., lo:hi]
-    else:
-        out["w"] = p["w"][..., lo:hi]
+    for wk in ("w8", "wi8", "w"):
+        if wk in p:
+            out[wk] = p[wk][..., lo:hi]
+            break
+    if "wscale" in p:
+        out["wscale"] = p["wscale"][..., lo:hi]
     if keep_bias and "b" in p:
         out["b"] = p["b"][..., lo:hi]
     return out
@@ -193,12 +196,13 @@ def _col_slice(p, lo, hi, keep_bias=True):
 
 def _row_slice(p, lo, hi, keep_bias=True):
     """Row slice [lo:hi) of a linear's input dim (for summing partial
-    matmuls of a concatenated input)."""
-    out = {k: v for k, v in p.items() if k in ("scale",)}
-    if "w8" in p:
-        out["w8"] = p["w8"][..., lo:hi, :]
-    else:
-        out["w"] = p["w"][..., lo:hi, :]
+    matmuls of a concatenated input). Quantized scales are input-invariant
+    (fp8 per-tensor, int8 per-output-channel) so they pass through."""
+    out = {k: v for k, v in p.items() if k in ("scale", "wscale")}
+    for wk in ("w8", "wi8", "w"):
+        if wk in p:
+            out[wk] = p[wk][..., lo:hi, :]
+            break
     if keep_bias and "b" in p:
         out["b"] = p["b"]
     return out

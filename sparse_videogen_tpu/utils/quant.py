@@ -60,6 +60,50 @@ def fp8_quantize_linear(p: dict, dtype=jnp.float8_e4m3fn) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# INT8 W8A8 (TPU-native analog of the reference's fp8 *compute* path).
+# H100 fp8 matmuls run at 2x bf16; the v5e MXU's double-rate format is int8
+# (measured 1.6x bf16 at production shapes, scripts/probe_int8-class runs:
+# 265 TOPs vs 164 TFLOPs at M=119k K=3k N=12k). Weights: symmetric
+# per-output-channel int8. Activations: dynamic per-token absmax scales,
+# computed inline (fuses into the dot's producer; measured free).
+# ---------------------------------------------------------------------------
+
+
+def int8_quantize_linear(p: dict) -> dict:
+    """{"w": (..., di, do), "b"?} -> {"wi8", "wscale", "b"?}."""
+    w = jnp.asarray(p["w"], jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)  # per output channel
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    out = {k: v for k, v in p.items() if k != "w"}
+    out["wi8"] = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out["wscale"] = scale
+    return out
+
+
+def _walk_linears(tree, fn, min_size):
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if (
+            w is not None
+            and hasattr(w, "ndim")
+            and w.ndim >= 2
+            and w.size >= min_size
+            and jnp.issubdtype(w.dtype, jnp.floating)
+        ):
+            return fn(tree)
+        return {k: _walk_linears(v, fn, min_size) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_walk_linears(v, fn, min_size) for v in tree)
+    return tree
+
+
+def quantize_linears_int8(tree, *, min_size: int = 1 << 16):
+    """Walk a param pytree and convert every linear dict {"w": 2D+} with at
+    least `min_size` elements to int8 W8A8 (embeddings/norms untouched)."""
+    return _walk_linears(tree, int8_quantize_linear, min_size)
+
+
 def quantize_linears_fp8(tree, *, min_size: int = 1 << 16, dtype=jnp.float8_e4m3fn):
     """Walk a param pytree and convert every linear dict {"w": 2D+} whose
     weight has at least `min_size` elements (embeddings/norms untouched —

@@ -239,3 +239,31 @@ def test_hyvideo_i2v_latent_concat_pipeline():
     assert np.isfinite(np.asarray(lat)).all()
     lat2 = pipe.generate_latents(text, mask, pooled, image_latents=img * -1.0, **kw)
     assert np.abs(np.asarray(lat) - np.asarray(lat2)).max() > 1e-6
+
+
+def test_hyvideo_int8_quant_parity(setup):
+    """W8A8 int8 block linears (utils/quant.quantize_linears_int8) track the
+    fp32 forward within int8-matmul error — exercises the sliced single-
+    stream linear1/linear2 paths with per-output-channel wscale slicing."""
+    from sparse_videogen_tpu.utils.quant import quantize_linears_int8
+
+    params, x, t, g, text, mask, text2 = setup
+    grid = (2, 4, 6)
+    layout = VideoLayout(num_frames=grid[0], frame_size=grid[1] * grid[2],
+                         context_length=CFG.text_len, text_position=TextPosition.LAST)
+    plan = make_svg1_plan(layout, SVGConfig(), block_q=128, block_kv=128)
+    rt = DenseRuntime(plan, prompt_length=5)
+
+    qparams = dict(params)
+    for key in ("double_blocks", "single_blocks"):
+        qparams[key] = quantize_linears_int8(params[key], min_size=1 << 8)
+
+    run = lambda p: np.asarray(HM.hyvideo_forward(
+        p, CFG, jnp.asarray(x), jnp.asarray(t), jnp.asarray(text),
+        jnp.asarray(mask), jnp.asarray(text2), guidance=jnp.asarray(g),
+        attention=rt)[0])
+    ref, got = run(params), run(qparams)
+    assert np.isfinite(got).all()
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+    assert np.abs(got - ref).max() > 0  # int8 actually engaged

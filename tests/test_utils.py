@@ -252,3 +252,38 @@ def test_cli_skip_existing(tmp_path, capsys):
     y4m.write_bytes(b"YUV4MPEG2\n")
     wan_t2v.main(["--output_file", str(out), "--skip_existing"])
     assert "skipping" in capsys.readouterr().out
+
+
+def test_int8_w8a8_linear_path():
+    """quantize_linears_int8 + layers.linear W8A8: per-output-channel weight
+    scales, dynamic per-token activation scales; error in the int8 matmul
+    class; small linears untouched."""
+    import jax.numpy as jnp
+
+    from sparse_videogen_tpu.models.common import layers as L
+    from sparse_videogen_tpu.utils.quant import quantize_linears_int8
+
+    rng = np.random.default_rng(1)
+    params = {
+        "big": {"w": jnp.asarray(rng.standard_normal((512, 256)), jnp.float32),
+                "b": jnp.asarray(rng.standard_normal((256,)), jnp.float32)},
+        "tiny": {"w": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)},
+    }
+    q = quantize_linears_int8(params, min_size=1 << 10)
+    assert q["big"]["wi8"].dtype == jnp.int8
+    assert q["big"]["wscale"].shape == (1, 256)
+    assert "w" in q["tiny"]
+
+    # scale channels independently to exercise per-channel scales
+    wscaled = params["big"]["w"] * jnp.linspace(0.1, 10.0, 256)[None, :]
+    pscaled = {"w": wscaled, "b": params["big"]["b"]}
+    qs = quantize_linears_int8(pscaled, min_size=1 << 10)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    y_ref = np.asarray(L.linear(pscaled, x))
+    y_q = np.asarray(L.linear(qs, x))
+    rel = np.abs(y_q - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 0.02, rel  # 8-bit symmetric quant, both operands
+
+    # bf16 activations keep the path working and return bf16
+    yb = L.linear(qs, x.astype(jnp.bfloat16))
+    assert yb.dtype == jnp.bfloat16
