@@ -137,18 +137,32 @@ class SAPConfig:
     # exactly one q cluster); keys/values are permuted UNPADDED and the
     # kernel walks run-list metadata in block_kv-token chunks (replaces the
     # reference's variable-block FlashInfer kernel; SURVEY.md section 7).
-    block_q: int = 128
-    block_kv: int = 512
+    # Defaults from the H=40 S=75,600 force_density=0.25 sweep (890 ms at
+    # the old 128/512 -> 727 at 256/1024): block_kv=1024 halves KV DMA
+    # descriptors (the runs kernel is KV-bandwidth-bound); block_q=256 holds
+    # a whole average cluster (S/qc ~ 252 rows at the reference 720p config)
+    # so each KV run streams once per cluster, at +~2% q padding.
+    block_q: int = 256
+    block_kv: int = 1024
     # max maximal-runs per (head, q-cluster) metadata row. None = exact
     # (num_k_centroids). Production configs can lower it (popularity
     # relabeling keeps real run counts small); rows with more runs are
     # truncated (missing attention) — keep a safety margin.
     max_runs: int | None = None
+    # ping-pong q sub-tiles inside the runs kernel. Negative result at every
+    # measured config (bq=128: 236 -> 318 ms with qs=2; bq=256/SQ=128:
+    # 727 -> 766 ms; bq=512/qs=4: 976) — the runs kernel is KV-DMA-bound,
+    # not q-pipeline-bound. Knob kept for experiments; None = 1.
+    qsplit: int | None = None
     # BENCHMARK-ONLY: pin the dynamic map to exactly this cluster fraction
     # instead of the top-p selection (svg2.sap_sparse_attention). Random
     # weights give degenerate (~90%) top-p density; real video sits at
     # 10-30%. None = real top-p selection (production).
     force_density: float | None = None
+
+    @property
+    def run_qsplit(self) -> int:
+        return 1 if self.qsplit is None else self.qsplit
 
 
 @dataclasses.dataclass(frozen=True)

@@ -153,11 +153,26 @@ def padded_permutation(labels, sizes, *, n_clusters: int, block: int, s_pad: int
     )
 
 
+def flat_row_gather(x, idx):
+    """Per-batch row gather as ONE flat non-batched gather.
+
+    x: (B, N, D), idx: (B, M) with values in [0, N) -> (B, M, D).
+    XLA:TPU's batched take_along_axis moves one 256 B row per index
+    (measured 42 GB/s at (40, 75600, 128) bf16); collapsing the batch into
+    the index (idx + b*N over a (B*N, D) view) hits the flat-gather path at
+    ~77 GB/s (scripts/probe_gather.py). The per-head shared-index form runs
+    at ~121-141 GB/s but needs identical indices across heads — impossible
+    for SAP's per-head permutations."""
+    B, N, D = x.shape
+    g = (idx.astype(jnp.int32) + jnp.arange(B, dtype=jnp.int32)[:, None] * N).reshape(-1)
+    return x.reshape(B * N, D)[g].reshape(B, idx.shape[1], D)
+
+
 def gather_padded(x, src):
     """x: (B, N, D), src: (B, s_pad) -> (B, s_pad, D)."""
-    return jnp.take_along_axis(x, src[..., None], axis=1)
+    return flat_row_gather(x, src)
 
 
 def ungather_padded(y_pad, pos):
     """y_pad: (B, s_pad, D), pos: (B, N) -> (B, N, D) (inverse permutation)."""
-    return jnp.take_along_axis(y_pad, pos[..., None], axis=1)
+    return flat_row_gather(y_pad, pos)

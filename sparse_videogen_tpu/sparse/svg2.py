@@ -232,7 +232,7 @@ def sap_sparse_attention(
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
     _, kperm = jax.lax.sort_key_val(klab, iota, dimension=-1)
-    kv = jnp.take_along_axis(pack_kv(kf, vf), kperm[..., None], axis=1)
+    kv = core_permute.flat_row_gather(pack_kv(kf, vf), kperm)
     sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
     if sk_pad != S:
         kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
@@ -249,7 +249,8 @@ def sap_sparse_attention(
 
     # 6. kernel + inverse permutation
     out_pad = block_sparse_attention_runs(
-        qp, kv, meta, block_q=bq, block_kv=bkv, interpret=interpret
+        qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=cfg.run_qsplit,
+        interpret=interpret,
     )
     out = core_permute.ungather_padded(out_pad, qmaps["pos"]).reshape(B, H, S, D)
 
