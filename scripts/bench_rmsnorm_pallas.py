@@ -10,6 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -19,13 +21,26 @@ from sparse_videogen_tpu.utils.benchmark import measure_fenced
 
 assert jax.devices()[0].platform == "tpu"
 
+LOOP = 50  # device-side repetitions: a single norm (~1 ms) is below the
+           # ~30 ms axon dispatch floor, so each timed call runs a chained
+           # fori_loop (iteration i reads iteration i-1's output)
+
+
+def looped(fn):
+    @jax.jit
+    def run(x, w):
+        return jax.lax.fori_loop(0, LOOP, lambda i, acc: fn(acc, w).astype(acc.dtype), x)
+    return run
+
+
 for name, shape in [("block-norm", (75600, 1536)), ("qk-norm", (12 * 75600, 128))]:
     x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
     w = jnp.ones((shape[-1],), jnp.float32)
-    xla = jax.jit(lambda x, w: rms_norm(x, w))
+    xla = looped(rms_norm)
     gb = 2 * x.size * 2 / 1e9
-    t = measure_fenced(lambda: xla(x, w), iters=5, warmup=2)
+    t = measure_fenced(lambda: xla(x, w), iters=3, warmup=1) / LOOP
     print(f"{name} XLA:    {t*1e3:7.2f} ms  {gb/t:6.1f} GB/s", flush=True)
     for bm in (256, 512, 1024):
-        tp = measure_fenced(lambda: rms_norm_pallas(x, w, block_rows=bm), iters=5, warmup=2)
+        pl_fn = looped(functools.partial(rms_norm_pallas, block_rows=bm))
+        tp = measure_fenced(lambda: pl_fn(x, w), iters=3, warmup=1) / LOOP
         print(f"{name} pallas bm={bm}: {tp*1e3:7.2f} ms  {gb/tp:6.1f} GB/s", flush=True)

@@ -41,6 +41,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wan", action="store_true", help="Wan 1.3B 720p shape instead")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--block_q", type=int, default=None, help="override plan block_q")
+    ap.add_argument("--qsplit", type=int, default=None, help="override sparse qsplit (stage c only)")
     args = ap.parse_args()
 
     from sparse_videogen_tpu.config import SVGConfig, VideoLayout, WarmupSchedule
@@ -63,7 +65,8 @@ def main():
         H, pl = base.heads_num, 70
         svg = SVGConfig(sparsity=0.25, num_sampled_rows=64, profile_multiplier=1.5)
 
-    plan = SVG1.make_svg1_plan(layout, svg, WarmupSchedule(first_layers=0, first_times=1001.0))
+    plan = SVG1.make_svg1_plan(layout, svg, WarmupSchedule(first_layers=0, first_times=1001.0),
+                               block_q=args.block_q)
     S = layout.seq_len
     log(f"S={S} H={H} kind={plan.mask_kind} sparse_exec=(bq={plan.block_q}, qs={plan.sparse_qsplit})")
 
@@ -93,7 +96,7 @@ def main():
 
     # c) kernel alone (classified metadata, aux)
     kern = jax.jit(lambda q, meta, aux: SVG1._run_kernel(
-        q, q, q, meta, plan, plan.mask_spec, None, aux))
+        q, q, q, meta, plan, plan.mask_spec, None, aux, qsplit=args.qsplit))
     tc = timeit(kern, q, consts["sparse_meta"], consts["aux"], iters=args.iters)
     log(f"c) sparse kernel:    {tc*1e3:8.1f} ms")
 

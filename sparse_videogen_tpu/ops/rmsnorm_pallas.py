@@ -3,9 +3,17 @@
 The reference ships CUDA narrow-row RMS/LayerNorm kernels at ~810 GB/s on
 H100 (README.md:139-146). Round 2 measured XLA's fused norms at 230-455 GB/s
 on v5e and kept XLA (data-backed). This kernel is the one-experiment answer
-to whether a hand-written Pallas norm closes the gap; wiring into
-models/common/layers.py is gated on the measured result
-(scripts/bench_rmsnorm_pallas.py) — see the bench docstring for numbers.
+to whether a hand-written Pallas norm closes the gap.
+
+MEASURED (v5e, scripts/bench_rmsnorm_pallas.py, device-side chained loops):
+XLA 282-284 GB/s at both the block-norm (75600x1536) and narrow qk-norm
+(907200x128) shapes; this kernel reaches only 129-170 GB/s at block_rows
+in {256, 512, 1024}. NEGATIVE RESULT — XLA's fused norm wins at every
+config, so models/common/layers.py keeps the XLA implementation. (The
+round-2 "455 GB/s" was a smaller-shape cache artifact; 283 GB/s is the
+steady HBM-stream number. The remaining gap to the ~819 GB/s HBM class is
+an XLA elementwise-emitter property that a simple row-blocked Pallas loop
+does not beat.)
 
 Semantics match layers.rms_norm exactly (WanRMSNorm,
 wan_orig/modules/model.py:62-78): f32 mean-square, cast back to the input
