@@ -674,9 +674,284 @@ def _runs_kernel(
         l_ref[0] = l.reshape(block_q // 128, 128)
 
 
+def _runs_expand_kernel(
+    aux_ref,
+    meta_hbm,  # HBM (R, nQ8, L) int32: [n_chunks, a0, b0, a1, b1, ...]
+    q_ref,
+    kv_ref,
+    # outputs (o; optionally m, l softmax stats for ring combination)
+    *refs,
+    block_q: int,
+    block_kv: int,
+    head_dim: int,
+    scale: float,
+    meta_rows: int,
+    nbuf: int,
+    nsub: int,
+    jcap: int,
+    qsplit: int = 1,
+    unroll: int = 1,
+    return_stats: bool = False,
+    use_exp2: bool = False,
+):
+    """Runs-mode metadata, chunked-style execution.
+
+    The original runs kernel (`_runs_kernel`) interleaves a scalar run-walk
+    (`run_ab`/`advance`: SMEM reads + div/mod chains) with every chunk of the
+    main loop — measured ~410 ms at the H=40 S=75,600 fd=0.25 SAP config vs
+    a ~224 ms MXU floor: the serial scalar chain gates DMA issue and starves
+    Mosaic's software pipeline. Here the walk runs ONCE as a scalar prologue
+    that expands the run list into an SMEM chunk-descriptor table (idx, win),
+    partitioned full-window-chunks-first; the main work is then two fori
+    loops with static bodies exactly like the proven chunked kernel
+    (`_kernel`, 148 TFLOPs dense-class efficiency):
+      * full chunks (lo == 0, hi == block_kv — the majority after popularity
+        relabeling coalesces KV runs) skip window masking entirely,
+      * edge chunks apply the [lo, hi) window as a broadcast column bias.
+    Prologue cost: n (~20-40) iterations x ~15 scalar ops per grid row.
+
+    Measured (v5e, H=40 S=75,600 D=128 fd=0.25, bq=256/bkv=1024,
+    scripts/bench_runs_expand.py): in-loop walk 380 ms; expand 376; expand +
+    exp2 369 (the win is the removed log2e multiply pass, not the
+    restructure — the old kernel was NOT scalar-gated after all). The
+    per-unit floor is max(MXU ~207 ms at 148 TFLOPs incl. ~2% q padding,
+    KV DMA ~150 ms, VPU softmax ~126 ms); the ~160 ms gap is the VPU chain
+    serializing against MXU across fori iterations. NEGATIVE results:
+    unroll=2 independent streams 403 ms, unroll=2/nbuf=2 405, unroll=3 432
+    (extra VMEM slots + state merge cost more than the overlap pays);
+    qsplit=2 422 (same as the old runs kernel's regression). Both knobs
+    kept for experiments.
+    """
+    if return_stats:
+        o_ref, m_ref, l_ref, meta_ref, tbl, kvbuf, meta_sem, kv_sems = refs
+    else:
+        o_ref, meta_ref, tbl, kvbuf, meta_sem, kv_sems = refs
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    b_meta = 0 if meta_rows == 1 else b
+    D = head_dim
+    C = block_kv // SUB
+    max_r = (meta_ref.shape[1] - 1) // 2 - 1
+
+    grp = (i // 8) * 8
+    sub = i % 8
+    meta_dma = lambda: pltpu.make_async_copy(
+        meta_hbm.at[b_meta, pl.ds(grp, 8), :], meta_ref, meta_sem
+    )
+
+    @pl.when(sub == 0)
+    def _():
+        meta_dma().start()
+        meta_dma().wait()
+
+    n = meta_ref[sub, 0]
+
+    # ---- scalar prologue: expand runs -> chunk table, full-first ----------
+    def exp_body(j, carry):
+        r, k, ci, ei = carry
+        rr = jnp.minimum(r, max_r)
+        a = meta_ref[sub, 1 + 2 * rr]
+        bb = meta_ref[sub, 2 + 2 * rr]
+        base = (a // SUB) * SUB
+        s0 = base + k * block_kv
+        idxu = s0 // SUB
+        idx = jnp.minimum(idxu, nsub - C)
+        off = (idxu - idx) * SUB
+        lo = jnp.maximum(a - s0, 0) + off
+        hi = jnp.minimum(bb - s0, block_kv) + off
+        full = (lo == 0) & (hi == block_kv)
+        pos = jnp.where(full, ci, ei)
+        tbl[0, pos] = idx
+        tbl[1, pos] = lo * ENTRY_SCALE + hi
+        m = (bb - base + block_kv - 1) // block_kv
+        last = k + 1 >= m
+        fi = full.astype(jnp.int32)
+        return (
+            jnp.where(last, r + 1, r),
+            jnp.where(last, 0, k + 1),
+            ci + fi,
+            ei - (1 - fi),
+        )
+
+    _, _, n_cheap, _ = jax.lax.fori_loop(
+        0, n, exp_body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(jcap - 1))
+    )
+
+    def entry_pos(c):
+        # cheap chunks live at [0, n_cheap); edge chunks at [jcap-1, ...) desc
+        return jnp.where(c < n_cheap, c, jcap - 1 - (c - n_cheap))
+
+    NS = unroll * nbuf  # chunk DMA slots
+
+    def kv_copy(slot, c):
+        ce = jnp.maximum(jnp.minimum(c, n - 1), 0)
+        idx = tbl[0, entry_pos(ce)]
+        return pltpu.make_async_copy(
+            kv_ref.at[b, pl.ds(idx * SUB, block_kv), :],
+            kvbuf.at[slot],
+            kv_sems.at[slot],
+        )
+
+    # tail chunks (c >= n, only with unroll > 1) re-DMA a clamped real chunk
+    # with an empty window, so buffers hold real data and start/wait pairs
+    # stay symmetric (mirrors the chunked kernel's n_up scheme)
+    n_up = ((n + unroll - 1) // unroll) * unroll if unroll > 1 else n
+
+    for w in range(unroll * (nbuf - 1)):
+
+        @pl.when(w < n_up)
+        def _():
+            kv_copy(w % NS, w).start()
+
+    # exp2 domain: fold log2(e) into the q scale so the softmax exponentials
+    # are raw exp2 (the VPU's native transcendental; jnp.exp lowers to
+    # exp2(x * log2e) with an extra full-tile multiply). p values are
+    # bit-identical (2^(log2e * x) == e^x); only the m stat changes units.
+    LOG2E = 1.4426950408889634
+    eff_scale = scale * LOG2E if use_exp2 else scale
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    q_s = (q_ref[0].astype(jnp.float32) * eff_scale).astype(q_ref.dtype)
+    SQ = block_q // qsplit
+    q_tiles = [q_s[t * SQ : (t + 1) * SQ] for t in range(qsplit)]
+
+    def process(c, states, windowed: bool):
+        slot = c % NS
+        pos = entry_pos(jnp.minimum(c, n - 1))
+        win = tbl[1, pos]
+        win = jnp.where(c < n, win, 0)  # tail chunk (unroll): empty window
+        lo = win // ENTRY_SCALE
+        hi = win % ENTRY_SCALE
+
+        kv_copy(slot, c).wait()
+        k_blk = kvbuf[slot][:, :D]
+        v_blk = kvbuf[slot][:, D:]
+
+        if windowed:
+            colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
+            bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
+
+        new_states = list(states)
+        for t in range(qsplit):
+            acc, m, l = states[3 * t : 3 * t + 3]
+            s = jax.lax.dot_general(
+                q_tiles[t], k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if windowed:
+                s = s + bias[:1]
+
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            alpha = expf(m - m_new)
+            # rows with every column masked so far: exponent against 0 so p
+            # underflows to exactly 0 (same m_safe trick as the chunked
+            # kernel; on the full path every column is live but the carry m
+            # can still be NEG_INF only before the first chunk, where
+            # m_new == m_cur is finite)
+            m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+            p = expf(s - m_safe)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new_states[3 * t : 3 * t + 3] = [acc * alpha + pv, m_new, l]
+        return tuple(new_states)
+
+    def init_states():
+        out = ()
+        for _ in range(qsplit):
+            out += (
+                jnp.zeros((SQ, D), jnp.float32),
+                jnp.full((SQ, 1), NEG_INF, jnp.float32),
+                jnp.zeros((SQ, 1), jnp.float32),
+            )
+        return out
+
+    if unroll == 1:
+
+        def body_full(j, carry):
+            @pl.when(j + nbuf - 1 < n)
+            def _():
+                kv_copy((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
+
+            return process(j, carry, windowed=False)
+
+        def body_edge(j, carry):
+            @pl.when(j + nbuf - 1 < n)
+            def _():
+                kv_copy((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
+
+            return process(j, carry, windowed=True)
+
+        states = jax.lax.fori_loop(0, n_cheap, body_full, init_states())
+        states = jax.lax.fori_loop(n_cheap, n, body_edge, states)
+        o = jnp.concatenate(
+            [states[3 * t] / jnp.maximum(states[3 * t + 2], 1e-20)
+             for t in range(qsplit)],
+            axis=0,
+        )
+        m = jnp.concatenate([states[3 * t + 1] for t in range(qsplit)], axis=0)
+        l = jnp.concatenate([states[3 * t + 2] for t in range(qsplit)], axis=0)
+    else:
+        # `unroll` independent (acc, m, l) streams over interleaved chunks:
+        # stream B's matmul is independent of stream A's softmax carry, so
+        # the scheduler can hide the VPU softmax chain (the measured
+        # bottleneck: fori iterations do not overlap) under the other
+        # stream's MXU work. Standard flash-attention state merge at the end.
+        assert qsplit == 1, "unroll > 1 composes with qsplit == 1 only"
+
+        def body_pair(j, carry, windowed):
+            states = list(carry)
+            base = j * unroll
+            for u in range(unroll):
+                c_pre = base + unroll * (nbuf - 1) + u
+
+                @pl.when(c_pre < n_up)
+                def _():
+                    kv_copy(c_pre % NS, c_pre).start()
+
+            for u in range(unroll):
+                states[3 * u : 3 * u + 3] = list(
+                    process(base + u, tuple(states[3 * u : 3 * u + 3]), windowed)
+                )
+            return tuple(states)
+
+        ncp = n_cheap // unroll  # full-window pairs; remainder runs windowed
+        npairs = n_up // unroll
+        init = ()
+        for _ in range(unroll):
+            init += init_states()
+        states = jax.lax.fori_loop(0, ncp, functools.partial(body_pair, windowed=False), init)
+        states = jax.lax.fori_loop(ncp, npairs, functools.partial(body_pair, windowed=True), states)
+        acc, m, l = states[0], states[1], states[2]
+        for u in range(1, unroll):
+            a2, m2, l2 = states[3 * u : 3 * u + 3]
+            m_new = jnp.maximum(m, m2)
+            # ms guard: all-NEG_INF rows exponentiate against 0 -> weights 0
+            ms = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+            a0 = expf(m - ms)
+            a1 = expf(m2 - ms)
+            acc = acc * a0 + a2 * a1
+            l = l * a0 + l2 * a1
+            m = m_new
+        o = acc / jnp.maximum(l, 1e-20)
+    o_ref[0] = o.astype(o_ref.dtype)
+    if return_stats:
+        if use_exp2:
+            # convert the running max back to natural-log units so ring
+            # combination with chunked-kernel (jnp.exp) stats stays exact;
+            # keep the NEG_INF no-live-column sentinel unscaled
+            m = jnp.where(m > 0.5 * NEG_INF, m / LOG2E, m)
+        m_ref[0] = m.reshape(block_q // 128, 128)
+        l_ref[0] = l.reshape(block_q // 128, 128)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "interpret", "return_stats"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "unroll", "interpret", "return_stats", "expand", "use_exp2"),
 )
 def block_sparse_attention_runs(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -690,8 +965,11 @@ def block_sparse_attention_runs(
     scale: float | None = None,
     nbuf: int = 3,
     qsplit: int = 1,
+    unroll: int = 1,
     interpret: bool | None = None,
     return_stats: bool = False,
+    expand: bool = True,
+    use_exp2: bool = True,
 ):
     """Block-sparse flash attention over run-list metadata (see run_meta_jnp)."""
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
@@ -718,19 +996,45 @@ def block_sparse_attention_runs(
         assert D2 % 128 == 0, f"packed KV minor dim {D2} must be a multiple of 128"
 
     assert block_q % qsplit == 0 and (block_q // qsplit) % 8 == 0, (block_q, qsplit)
-    kernel = functools.partial(
-        _runs_kernel,
-        block_q=block_q,
-        block_kv=block_kv,
-        head_dim=D,
-        mask_spec=mask_spec,
-        scale=scale,
-        meta_rows=R,
-        nbuf=nbuf,
-        nsub=Skv // SUB,
-        qsplit=qsplit,
-        return_stats=return_stats,
-    )
+    # expand mode: scalar-prologue expansion into an SMEM chunk table +
+    # chunked-style main loops (_runs_expand_kernel). Supports the "none"
+    # mask only (SAP text-last layouts already fold text into extra
+    # clusters); other specs fall back to the in-loop run walk.
+    expand = expand and (isinstance(mask_spec, MaskSpec) and mask_spec.kind == "none")
+    assert unroll == 1 or (expand and qsplit == 1), (unroll, qsplit, expand)
+    cap_runs = (meta.shape[-1] - 1) // 2
+    jcap = cap_runs + Skv // block_kv + 2
+    slots = (unroll if expand else 1) * nbuf
+    if expand:
+        kernel = functools.partial(
+            _runs_expand_kernel,
+            block_q=block_q,
+            block_kv=block_kv,
+            head_dim=D,
+            scale=scale,
+            meta_rows=R,
+            nbuf=nbuf,
+            nsub=Skv // SUB,
+            jcap=jcap,
+            qsplit=qsplit,
+            unroll=unroll,
+            return_stats=return_stats,
+            use_exp2=use_exp2,
+        )
+    else:
+        kernel = functools.partial(
+            _runs_kernel,
+            block_q=block_q,
+            block_kv=block_kv,
+            head_dim=D,
+            mask_spec=mask_spec,
+            scale=scale,
+            meta_rows=R,
+            nbuf=nbuf,
+            nsub=Skv // SUB,
+            qsplit=qsplit,
+            return_stats=return_stats,
+        )
 
     out_specs = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((BH, Sq, D), q.dtype)
@@ -755,9 +1059,10 @@ def block_sparse_attention_runs(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, row_pad), jnp.int32),
-            pltpu.VMEM((nbuf, block_kv, D2), kv.dtype),
+            *([pltpu.SMEM((2, jcap), jnp.int32)] if expand else []),
+            pltpu.VMEM((slots, block_kv, D2), kv.dtype),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

@@ -66,6 +66,52 @@ def test_runs_kernel_oracle(seed, bkv):
     )
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(expand=False),
+        dict(expand=True, use_exp2=False),
+        dict(expand=True, use_exp2=True),
+        dict(expand=True, unroll=2),
+        dict(expand=True, unroll=2, nbuf=2),
+        dict(expand=True, qsplit=2),
+    ],
+)
+def test_runs_kernel_variants_agree(kw):
+    """expand (scalar-prologue chunk table), exp2 softmax domain, unroll and
+    qsplit streams all compute the same attention (vs the in-loop walk)."""
+    rng = np.random.default_rng(7)
+    BH, C, S = 2, 9, 1100
+    bq, Sq, D, bkv = 128, 384, 64, 256
+    sizes, starts = _random_clusters(rng, BH, C, S)
+    sel = rng.random((BH, Sq // bq, C)) < 0.45
+    sel[:, 1, :] = False  # an empty row
+    Skv = -(-max(S, bkv) // 128) * 128
+    meta = MD.run_meta_jnp(
+        jnp.asarray(sel), jnp.asarray(starts), jnp.asarray(sizes), block_kv=bkv, cap=C
+    )
+    q = jnp.asarray(rng.standard_normal((BH, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((BH, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((BH, Skv, D)), jnp.float32)
+    kv = pack_kv(k, v)
+    base = block_sparse_attention_runs(
+        q, kv, meta, block_q=bq, block_kv=bkv, expand=False, use_exp2=False
+    )
+    out = block_sparse_attention_runs(q, kv, meta, block_q=bq, block_kv=bkv, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=3e-6)
+    # softmax stats stay in natural-log units in every variant (ring combine)
+    _, m0, l0 = block_sparse_attention_runs(
+        q, kv, meta, block_q=bq, block_kv=bkv, expand=False, use_exp2=False,
+        return_stats=True,
+    )
+    if kw.get("unroll", 1) == 1:  # stats supported on all, but merge reorders
+        _, m1, l1 = block_sparse_attention_runs(
+            q, kv, meta, block_q=bq, block_kv=bkv, return_stats=True, **kw
+        )
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-4)
+
+
 def test_adjacent_selected_clusters_merge():
     sizes = np.array([[100, 50, 70, 30]], np.int32)
     starts = np.array([[0, 100, 150, 220]], np.int32)
