@@ -58,17 +58,21 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="360p x 33f smoke config (fast; for bring-up)")
     ap.add_argument("--prompt_length", type=int, default=70)
+    ap.add_argument("--no_sap", action="store_true",
+                    help="skip the SVG2/SAP runtime (dense + svg1 only)")
+    ap.add_argument("--sap_block_q", type=int, default=128,
+                    help="SAP q block (128 pads ~21%% at qc=400 vs ~43%% at 256)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from sparse_videogen_tpu.config import SVGConfig, WarmupSchedule
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig, WarmupSchedule
     from sparse_videogen_tpu.models.hyvideo import model as HM
     from sparse_videogen_tpu.pipelines.hyvideo import hyvideo_layout
     from sparse_videogen_tpu.schedulers import FlowMatchEuler
-    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
+    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
     from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
     from sparse_videogen_tpu.utils.benchmark import measure_fenced
     from sparse_videogen_tpu.utils.quant import quantize_linears_int8
@@ -122,37 +126,70 @@ def main():
     guidance = jnp.full((1,), 6000.0, jnp.float32)
     t_sparse = 500.0  # < warm threshold -> sparse path active
 
-    def step_time(runtime, cfg_r, params_r):
+    def step_time(runtime, cfg_r, params_r, carry_state=False):
+        """Fenced s/step; carry_state=True (SAP) returns (cold, warm) where
+        cold starts from the fresh state (iter_init Lloyd per layer) and warm
+        threads the carried centroids (iter_step)."""
         consts = runtime.consts()
         nl = cfg_r.mm_double_blocks_depth + cfg_r.mm_single_blocks_depth
 
         @jax.jit
-        def fwd(params, x, t, consts):
-            states = runtime.init_state(cfg_r.heads_num, cfg_r.head_dim, nl)
-            v, _ = HM.hyvideo_forward(
+        def fwd(params, x, t, consts, states):
+            v, st = HM.hyvideo_forward(
                 params, cfg_r, x, jnp.full((1,), t, jnp.float32),
                 text_states, text_mask, text_pooled, guidance=guidance,
                 attention=runtime, attn_states=states, attn_consts=consts,
                 rng=jax.random.PRNGKey(0))
-            return v
+            return v, st
 
+        s0 = runtime.init_state(cfg_r.heads_num, cfg_r.head_dim, nl)
         # per-run fenced timing: the axon tunnel kills the worker when too
         # much execution time is enqueued unfenced (two crashes at this
         # scale with batched-queue timing; per-run fencing is stable). RTT
         # (~0.1 s) is noise against 15-70 s steps.
-        return measure_fenced(lambda: fwd(params_r, x, t_sparse, consts),
-                              iters=args.iters, warmup=1)
+        if not carry_state:
+            return measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s0)[0],
+                                  iters=args.iters, warmup=1)
+        _, s1 = fwd(params_r, x, t_sparse, consts, s0)
+        jax.block_until_ready(s1.q_centroids)
+        t_cold = measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s0)[0],
+                                iters=args.iters, warmup=0)
+        t_warm = measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s1)[0],
+                                iters=args.iters, warmup=1)
+        return t_cold, t_warm
+
+    runtimes = [("dense", DenseRuntime(plan, prompt_length=args.prompt_length)),
+                ("svg1", SVG1Runtime(plan, prompt_length=args.prompt_length))]
+    if not args.no_sap:
+        # reference hyvideo 720p SVG2 config (hyvideo_t2v_720p_sap.sh):
+        # qc=400 kc=1000 top_p=0.9 min_kc=0.10 iter_init=50 iter_step=2.
+        # force_density pins the dynamic map at a representative 25% (random
+        # weights give flat centroid attention -> degenerate ~90% top-p);
+        # every stage (k-means, permutation, run metadata, kernel, inverse)
+        # is the real computation.
+        sap_cfg = SAPConfig(num_q_centroids=400, num_k_centroids=1000,
+                            top_p_kmeans=0.9, min_kc_ratio=0.10,
+                            kmeans_iter_init=50, kmeans_iter_step=2,
+                            block_q=args.sap_block_q, max_runs=256,
+                            force_density=0.25)
+        runtimes.append(("sap", SAPRuntime(
+            plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))))
 
     results = {}
-    for name, runtime in [("dense", DenseRuntime(plan, prompt_length=args.prompt_length)),
-                          ("svg1", SVG1Runtime(plan, prompt_length=args.prompt_length))]:
-        ts = []
+    for name, runtime in runtimes:
+        ts, ts_cold = [], []
         for u in args.units:
             cfg_r = dataclasses.replace(
                 base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
-            t = step_time(runtime, cfg_r, tiled(params_unit, u))
+            if name == "sap":
+                tc, t = step_time(runtime, cfg_r, tiled(params_unit, u), carry_state=True)
+                ts_cold.append(tc)
+                extra = f" (cold {tc:.2f})"
+            else:
+                t = step_time(runtime, cfg_r, tiled(params_unit, u))
+                extra = ""
             print(f"[bench_hyvideo] {name} u={u} ({2*u}d+{4*u}s, S={layout.seq_len}): "
-                  f"{t:.2f} s/step", file=sys.stderr)
+                  f"{t:.2f} s/step{extra}", file=sys.stderr)
             ts.append(t)
         us = np.asarray(args.units, np.float64)
         tsa = np.asarray(ts)
@@ -161,6 +198,9 @@ def main():
         print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s, "
               f"max fit residual {resid*1e3:.0f} ms", file=sys.stderr)
         results[name] = {"a": a, "b_unit": b, "steps": ts}
+        if ts_cold:
+            bc, ac = np.polyfit(us, np.asarray(ts_cold), 1)
+            results[name]["a_cold"], results[name]["b_cold"] = ac, bc
 
     U_FULL = n_layers_full // 6  # 10 units = 20 double + 40 single
     t_dense = results["dense"]["a"] + U_FULL * results["dense"]["b_unit"]
@@ -176,12 +216,30 @@ def main():
           f"svg1 {t_svg:.2f} s/step (step {t_dense/t_svg:.2f}x); blend with "
           f"{n_warm_steps} dense warm steps -> e2e {speedup:.3f}x "
           f"(ref H100 {REF_E2E}x)", file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "hyvideo_720p_svg1_e2e_speedup",
         "value": round(speedup, 3), "unit": "x",
         "vs_baseline": round(speedup / REF_E2E, 3),
         "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
-    }))
+    }
+    if "sap" in results:
+        r = results["sap"]
+        t_sap = (r["a"] + U_FULL * r["b_unit"]
+                 + warm_frac_units * (results["dense"]["b_unit"] - r["b_unit"]))
+        t_sap_cold = (r["a_cold"] + U_FULL * r["b_cold"]
+                      + warm_frac_units * (results["dense"]["b_unit"] - r["b_cold"]))
+        # reference blend (hyvideo_t2v_720p_sap.sh shares TFP/LFP with SVG):
+        # warm dense steps, then one cold sparse step (iter_init Lloyd per
+        # layer), then warm sparse steps with the carried centroid state
+        e2e_sap = (n_warm_steps * t_dense + t_sap_cold
+                   + (NUM_STEPS - n_warm_steps - 1) * t_sap)
+        sap_speedup = e2e_dense / e2e_sap
+        print(f"[bench_hyvideo] sap full-depth warm {t_sap:.2f} s/step "
+              f"(cold {t_sap_cold:.2f}) -> e2e {sap_speedup:.3f}x", file=sys.stderr)
+        out["sap_e2e_speedup"] = round(sap_speedup, 3)
+        out["sap_warm_step_s"] = round(t_sap, 3)
+        out["sap_cold_step_s"] = round(t_sap_cold, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -267,3 +267,45 @@ def test_hyvideo_int8_quant_parity(setup):
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.05, rel
     assert np.abs(got - ref).max() > 0  # int8 actually engaged
+
+
+def test_hyvideo_sap_runtime(setup):
+    """SAPRuntime through the full hyvideo forward (text-last layout):
+    force_density=1.0 must equal the masked dense runtime, and the k-means
+    state carry must initialize on the first (cold) step. This is the path
+    scripts/bench_hyvideo.py times for the SVG2 e2e number."""
+    from sparse_videogen_tpu.config import SAPConfig
+    from sparse_videogen_tpu.sparse.runtimes import SAPRuntime
+
+    params, x, t, g, text, mask, text2 = setup
+    grid = (2, 4, 6)
+    layout = VideoLayout(num_frames=grid[0], frame_size=grid[1] * grid[2],
+                         context_length=CFG.text_len, text_position=TextPosition.LAST,
+                         prompt_length=5)
+    plan = make_svg1_plan(layout, SVGConfig(), block_q=128, block_kv=128)
+    nl = CFG.mm_double_blocks_depth + CFG.mm_single_blocks_depth
+
+    def run(rt, st=None):
+        consts = rt.consts()
+        if st is None:
+            st = rt.init_state(CFG.heads_num, CFG.head_dim, nl)
+        out, new_st = HM.hyvideo_forward(
+            params, CFG, jnp.asarray(x), jnp.asarray(t), jnp.asarray(text),
+            jnp.asarray(mask), jnp.asarray(text2), guidance=jnp.asarray(g),
+            attention=rt, attn_states=st, attn_consts=consts,
+            rng=jax.random.PRNGKey(3))
+        return np.asarray(out), new_st
+
+    sap_cfg = SAPConfig(num_q_centroids=3, num_k_centroids=4, kmeans_iter_init=4,
+                        kmeans_iter_step=2, block_q=128, block_kv=128,
+                        max_runs=6, force_density=1.0)
+    warm = WarmupSchedule(first_layers=0, first_times=1001.0)
+    got, st1 = run(SAPRuntime(plan, sap_cfg, warm))
+    ref, _ = run(DenseRuntime(plan, prompt_length=5))
+    assert bool(np.asarray(st1.initialized).all())
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 2e-5, rel
+    # warm step (carried centroids) stays finite and close to dense at fd=1
+    got2, _ = run(SAPRuntime(plan, sap_cfg, warm), st=st1)
+    rel2 = np.linalg.norm(got2 - ref) / np.linalg.norm(ref)
+    assert rel2 < 2e-5, rel2
