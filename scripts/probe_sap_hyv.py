@@ -67,16 +67,18 @@ print(f"[sap op warm  fd={fd} bq={bq}] {t*1e3:8.1f} ms", flush=True)
 del out
 
 # dense comparator: the bench's masked text-last dense op
+import numpy as np
+
 spec = MaskSpec(kind="hyvideo", video_len=VID, band_width=VID * 2)
 aux = jnp.array([VID + PROMPT, 0, 0, 0], jnp.int32)
-Sp = -(-S // 128) * 128
-qp = jnp.pad(q.reshape(BH, S, D), ((0, 0), (0, Sp - S), (0, 0)))
+Sq_pad = -(-S // 1024) * 1024  # q rows to a block_q multiple
+Sp = -(-S // 128) * 128  # kv to sub-block granularity
+qp = jnp.pad(q.reshape(BH, S, D), ((0, 0), (0, Sq_pad - S), (0, 0)))
 kvp = jnp.pad(pack_kv(k.reshape(BH, S, D), v.reshape(BH, S, D)),
               ((0, 0), (0, Sp - S), (0, 0)))
-meta = jnp.asarray(MD.chunk_meta_np(
-    __import__("numpy").ones((1, Sp // 1024, Sp // 128), bool),
-    MD.kv_counts_for_seq(S, Sp), block_kv=1024))
-meta = jnp.asarray(MD.classify_cheap_np(meta, spec, __import__("numpy").asarray(aux),
+meta = MD.chunk_meta_np(np.ones((1, Sq_pad // 1024, Sp // 128), bool),
+                        MD.kv_counts_for_seq(S, Sp), block_kv=1024)
+meta = jnp.asarray(MD.classify_cheap_np(meta, spec, np.asarray(aux),
                                         block_q=1024, block_kv=1024, seq_q=S))
 dense = jax.jit(lambda qp, kvp, meta: block_sparse_attention_kv(
     qp, kvp, meta, aux, block_q=1024, block_kv=1024, mask_spec=spec, qsplit=4))
