@@ -10,9 +10,23 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser("hyvideo_t2v")
     p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
+    p.add_argument("--negative_prompt", type=str, default=None,
+                   help="accepted for reference-script parity; HunyuanVideo "
+                        "runs embedded (distilled) guidance without a CFG "
+                        "uncond pass, so it is unused (hyvideo_t2v_inference.py)")
+    p.add_argument("--prompt_source", type=str, default="prompt",
+                   help='reference dataloader semantics: with a non-"prompt" '
+                        "source, --prompt is the prompt-list .txt and "
+                        "--prompt_idx selects the line")
+    p.add_argument("--prompt_idx", type=int, default=0)
+    p.add_argument("--resolution", type=str, default=None, choices=["480p", "720p"],
+                   help="preset for --height/--width (480p=480x720, 720p=720x1280); "
+                        "explicit --height/--width win")
     p.add_argument("--model_dir", type=str, default=None)
-    p.add_argument("--height", type=int, default=720)
-    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--logging_file", type=str, default=None,
+                   help="JSONL density/latency telemetry (reference --logging_file)")
     p.add_argument("--num_frames", type=int, default=129)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--embedded_guidance_scale", type=float, default=6.0)
@@ -71,6 +85,17 @@ def main(argv=None):
     from sparse_videogen_tpu.utils.seed import seed_everything
 
     seed_everything(args.seed)
+    if args.prompt_source != "prompt":
+        from sparse_videogen_tpu.utils.dataloader import load_prompt_or_image
+
+        args.prompt, _ = load_prompt_or_image(
+            args.prompt_source, args.prompt_idx, args.prompt, None)
+    # --resolution preset; explicit --height/--width win (the reference keeps
+    # them as separate flags and uses resolution only for output naming)
+    if args.height is None or args.width is None:
+        ph, pw = (480, 720) if args.resolution == "480p" else (720, 1280)
+        args.height = ph if args.height is None else args.height
+        args.width = pw if args.width is None else args.width
 
     vae_decode = None
     if args.smoke or args.model_dir is None:
@@ -165,6 +190,7 @@ def main(argv=None):
                       kmeans_iter_init=args.kmeans_iter_init,
                       kmeans_iter_step=args.kmeans_iter_step),
         seed=args.seed,
+        logging_file=args.logging_file,
     )
     if vae_decode is not None:
         from sparse_videogen_tpu.pipelines.wan import export_video

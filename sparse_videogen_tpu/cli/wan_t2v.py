@@ -23,7 +23,13 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser("wan_t2v")
     p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
-    p.add_argument("--neg_prompt", type=str, default="")
+    p.add_argument("--neg_prompt", "--negative_prompt", dest="neg_prompt",
+                   type=str, default="")
+    p.add_argument("--prompt_source", type=str, default="prompt",
+                   help='prompt | path semantics of the reference dataloader '
+                        '(T2V_*_VBench etc.): with a non-"prompt" source, '
+                        '--prompt is the .txt/dir and --prompt_idx selects the line')
+    p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None, help="dir with transformer safetensors (+ optional vae/umt5)")
     p.add_argument("--model_size", type=str, default="1.3B", choices=["1.3B", "14B"])
     p.add_argument("--height", type=int, default=480)
@@ -56,7 +62,8 @@ def build_parser():
     p.add_argument("--kmeans_iter_init", type=int, default=50)
     p.add_argument("--kmeans_iter_step", type=int, default=2)
     p.add_argument("--zero_step_kmeans_init", action="store_true")
-    p.add_argument("--logging_file", type=str, default=None)
+    p.add_argument("--logging_file", type=str, default=None,
+                   help="JSONL density telemetry for SAP (reference --logging_file)")
     # parallelism (reference parallel flag group, hyvideo_orig/config.py:
     # 351-369 --ulysses-degree/--ring-degree; wan_orig dit_fsdp)
     p.add_argument("--dp", type=int, default=1, help="data-parallel degree (CFG pair / batch)")
@@ -98,6 +105,13 @@ def main(argv=None):
     from sparse_videogen_tpu.utils.seed import seed_everything
 
     seed_everything(args.seed)
+    if args.prompt_source != "prompt":
+        # reference semantics (wan_t2v_inference.py:102): --prompt is the
+        # prompt-list .txt and --prompt_idx selects the line
+        from sparse_videogen_tpu.utils.dataloader import load_prompt_or_image
+
+        args.prompt, _ = load_prompt_or_image(
+            args.prompt_source, args.prompt_idx, args.prompt, None)
     if args.flow_shift is None:
         args.flow_shift = 5.0 if args.height >= 720 else 3.0
     if not args.neg_prompt:
@@ -224,6 +238,7 @@ def main(argv=None):
                       kmeans_iter_step=args.kmeans_iter_step,
                       zero_step_kmeans_init=args.zero_step_kmeans_init),
         seed=args.seed,
+        logging_file=args.logging_file,
     )
     if vae_decode is not None:
         from sparse_videogen_tpu.pipelines.wan import export_video

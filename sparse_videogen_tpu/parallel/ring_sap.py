@@ -210,4 +210,5 @@ def sap_ring_attention(
         qcent.reshape(B * H, *qcent.shape[2:]),
         kcent.reshape(B * H, *kcent.shape[2:]),
         jnp.ones((), bool),
+        state.last_density,
     )

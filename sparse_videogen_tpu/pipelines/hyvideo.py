@@ -73,6 +73,7 @@ class HyVideoPipeline:
         seed: int = 0,
         image_latents=None,  # I2V: (1, 16, 1, h, w) VAE-encoded first frame
         mesh=None,  # dp x rp x sp device mesh (parallel/mesh.py)
+        logging_file=None,  # SAP density JSONL (reference --logging_file)
     ):
         cfg = self.model_cfg
         layout = hyvideo_layout(cfg, height, width, num_frames)
@@ -156,12 +157,22 @@ class HyVideoPipeline:
             )
             return v, states
 
+        from sparse_videogen_tpu.utils.density import DensityLogger
+
+        dlog = DensityLogger(logging_file if pattern == "SAP" else None)
         sstate = sch.init_state()
         for i in range(num_inference_steps):
             t = float(sch.timesteps[i])
             v, astates = fwd(self.params, lat, t, astates, consts,
                              jax.random.fold_in(key, i), cond)
             lat, sstate = sch.step(i, lat, v, sstate)
+            if dlog.path is not None:
+                import numpy as np
+
+                dens = np.asarray(astates.last_density)  # (n_layers, BH)
+                for li in range(dens.shape[0]):
+                    if dens[li].any():
+                        dlog.log(t, li, dens[li])
         return lat
 
     def generate(self, prompt: str, **kw):

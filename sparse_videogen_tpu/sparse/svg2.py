@@ -43,11 +43,19 @@ from sparse_videogen_tpu.ops.attention import block_sparse_attention_runs, pack_
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SAPState:
-    """k-means warm-start carry (one per attention layer)."""
+    """k-means warm-start carry (one per attention layer).
+
+    last_density mirrors the reference's per-(timestep, layer) density
+    telemetry (svg/models/wan/attention.py:540-557): the sparse branch
+    records the step's per-head kept-mass fraction so the host-side step
+    loop can JSONL-log it (utils/density.DensityLogger) without a second
+    device round trip; dense/warm-up steps leave zeros.
+    """
 
     q_centroids: jnp.ndarray  # (B*H, QC, D)
     k_centroids: jnp.ndarray  # (B*H, KC, D)
     initialized: jnp.ndarray  # () bool
+    last_density: jnp.ndarray  # (B*H,) f32
 
 
 def init_sap_state(batch_heads: int, head_dim: int, cfg: SAPConfig, dtype=jnp.bfloat16) -> SAPState:
@@ -55,6 +63,7 @@ def init_sap_state(batch_heads: int, head_dim: int, cfg: SAPConfig, dtype=jnp.bf
         q_centroids=jnp.zeros((batch_heads, cfg.num_q_centroids, head_dim), dtype),
         k_centroids=jnp.zeros((batch_heads, cfg.num_k_centroids, head_dim), dtype),
         initialized=jnp.zeros((), bool),
+        last_density=jnp.zeros((batch_heads,), jnp.float32),
     )
 
 
@@ -89,6 +98,7 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
         qcent.astype(state.q_centroids.dtype),
         kcent.astype(state.k_centroids.dtype),
         jnp.ones((), bool),
+        state.last_density,
     )
     return (qlab, qcent, qsz), (klab, kcent, ksz), new_state
 
@@ -213,6 +223,8 @@ def sap_sparse_attention(
             (jnp.arange(KC) < kcn)[None, None, None, :], dyn.shape
         )
     density = density_calculation(dyn, qsz.reshape(B, H, QC), ksz.reshape(B, H, KC))
+    new_state = dataclasses.replace(
+        new_state, last_density=density.reshape(BH).astype(jnp.float32))
 
     # 3. popularity relabel (coalesces kv runs; output-invariant)
     dyn_f, klab, ksz, _ = popularity_relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)

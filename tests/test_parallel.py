@@ -73,6 +73,7 @@ def test_ulysses_sap_state_sharding_roundtrip():
         qf[:, :: S // cfg.num_q_centroids][:, : cfg.num_q_centroids],
         kf[:, :: S // cfg.num_k_centroids][:, : cfg.num_k_centroids],
         jnp.ones((), bool),
+        jnp.zeros((B * H,), jnp.float32),
     )
 
     out, new_state = uly(q, k, v, jnp.float32(500.0), key, jnp.int32(0), state, consts)

@@ -38,7 +38,7 @@ def _data(seed=0):
     v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
     qc = jnp.asarray(rng.standard_normal((B * H, CFG.num_q_centroids, D)), jnp.float32)
     kc = jnp.asarray(rng.standard_normal((B * H, CFG.num_k_centroids, D)), jnp.float32)
-    state = SAPState(qc, kc, jnp.ones((), bool))
+    state = SAPState(qc, kc, jnp.ones((), bool), jnp.zeros((qc.shape[0],), jnp.float32))
     return q, k, v, state
 
 
@@ -79,6 +79,7 @@ def test_ring_sap_cold_init_runs():
         jnp.zeros((B * H, CFG.num_q_centroids, D)),
         jnp.zeros((B * H, CFG.num_k_centroids, D)),
         jnp.zeros((), bool),
+        jnp.zeros((B * H,), jnp.float32),
     )
     cfg = SAPConfig(**{**CFG.__dict__, "kmeans_iter_init": 5})
     mesh = make_mesh(2, sp=2)
