@@ -12,6 +12,14 @@ def build_parser():
     p = argparse.ArgumentParser("cosmos_t2v")
     p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
     p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--prompt_source", type=str, default="prompt",
+                   help='reference dataloader semantics: with a non-"prompt" '
+                        "source, --prompt is the prompt-list .txt and "
+                        "--prompt_idx selects the line")
+    p.add_argument("--prompt_idx", type=int, default=0)
+    p.add_argument("--logging_file", type=str, default=None,
+                   help="accepted for reference-script parity (density "
+                        "telemetry is wired on the wan/hyvideo pipelines)")
     p.add_argument("--model_dir", type=str, default=None)
     p.add_argument("--model_size", type=str, default="7B", choices=["7B", "14B"])
     p.add_argument("--height", type=int, default=704)
@@ -63,6 +71,11 @@ def main(argv=None):
     from sparse_videogen_tpu.utils.seed import seed_everything
 
     seed_everything(args.seed)
+    if args.prompt_source != "prompt":
+        from sparse_videogen_tpu.utils.dataloader import load_prompt_or_image
+
+        args.prompt, _ = load_prompt_or_image(
+            args.prompt_source, args.prompt_idx, args.prompt, None)
 
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: smoke generation with random weights")
