@@ -18,8 +18,7 @@ def build_parser():
                         "--prompt_idx selects the line")
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--logging_file", type=str, default=None,
-                   help="accepted for reference-script parity (density "
-                        "telemetry is wired on the wan/hyvideo pipelines)")
+                   help="JSONL density telemetry for SAP (reference --logging_file)")
     p.add_argument("--model_dir", type=str, default=None)
     p.add_argument("--model_size", type=str, default="7B", choices=["7B", "14B"])
     p.add_argument("--height", type=int, default=704)
@@ -144,6 +143,7 @@ def main(argv=None):
                       kmeans_iter_init=args.kmeans_iter_init,
                       kmeans_iter_step=args.kmeans_iter_step),
         seed=args.seed,
+        logging_file=args.logging_file,
     )
     np.savez(args.output_file, latents=np.asarray(lat))
     logger.info(f"saved latents {lat.shape} -> {args.output_file}")

@@ -292,7 +292,10 @@ def cosmos_forward(
     # permute(0,7,1,6,2,4,3,5) (custom_models.py:147-152)
     out = out.reshape(B, grid[0], grid[1], grid[2], ph, pw, pt, cfg.out_channels)
     out = out.transpose(0, 7, 1, 6, 2, 4, 3, 5)
-    return out.reshape(B, cfg.out_channels, F, H, W)
+    # return the scanned-through attention states (SAP k-means warm-start
+    # carry; dropping them silently re-ran the cold iter_init Lloyd every
+    # step — wan/hyvideo/cog already thread them)
+    return out.reshape(B, cfg.out_channels, F, H, W), attn_states
 
 
 # ---------------------------------------------------------------------------

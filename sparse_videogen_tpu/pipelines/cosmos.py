@@ -65,6 +65,7 @@ class CosmosPipeline:
         sap: SAPConfig = SAPConfig(),
         seed: int = 0,
         mesh=None,  # dp x rp x sp device mesh (parallel/mesh.py)
+        logging_file=None,  # SAP density JSONL (reference --logging_file)
     ):
         cfg = self.model_cfg
         layout = cosmos_layout(cfg, height, width, num_frames)
@@ -104,12 +105,15 @@ class CosmosPipeline:
         def fwd(params, lat, c_in, t, ctx2, states, consts, key):
             x_in = lat * c_in  # EDM input preconditioning, fused into the jit
             x = jnp.concatenate([x_in, x_in], axis=0).astype(self.dtype)
-            out = CM.cosmos_forward(
+            out, states = CM.cosmos_forward(
                 params, cfg, x, jnp.full((2,), t, jnp.float32), ctx2,
                 attention=runtime, attn_states=states, attn_consts=consts, rng=key,
             )
             return out[:1].astype(jnp.float32), out[1:2].astype(jnp.float32), states
 
+        from sparse_videogen_tpu.utils.density import DensityLogger, log_sap_states
+
+        dlog = DensityLogger(logging_file if pattern == "SAP" else None)
         sstate = sch.init_state()
         for i in range(num_inference_steps):
             t = float(sch.timesteps[i])
@@ -120,6 +124,8 @@ class CosmosPipeline:
             )
             noise_pred = uncond + guidance_scale * (cond - uncond)
             lat, sstate = sch.step(i, lat, noise_pred, sstate)
+            if pattern == "SAP":
+                log_sap_states(dlog, t, astates)
         return lat
 
     def generate(self, prompt: str, negative_prompt: str = "", **kw):

@@ -157,7 +157,7 @@ class HyVideoPipeline:
             )
             return v, states
 
-        from sparse_videogen_tpu.utils.density import DensityLogger
+        from sparse_videogen_tpu.utils.density import DensityLogger, log_sap_states
 
         dlog = DensityLogger(logging_file if pattern == "SAP" else None)
         sstate = sch.init_state()
@@ -166,13 +166,8 @@ class HyVideoPipeline:
             v, astates = fwd(self.params, lat, t, astates, consts,
                              jax.random.fold_in(key, i), cond)
             lat, sstate = sch.step(i, lat, v, sstate)
-            if dlog.path is not None:
-                import numpy as np
-
-                dens = np.asarray(astates.last_density)  # (n_layers, BH)
-                for li in range(dens.shape[0]):
-                    if dens[li].any():
-                        dlog.log(t, li, dens[li])
+            if pattern == "SAP":
+                log_sap_states(dlog, t, astates)
         return lat
 
     def generate(self, prompt: str, **kw):

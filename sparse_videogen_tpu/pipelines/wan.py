@@ -194,20 +194,9 @@ class WanPipeline:
         # SAP density telemetry (reference wan/attention.py:540-557 logs a
         # JSONL row per (timestep, layer)); states return to host every step
         # anyway, so this costs one small transfer per logged step
-        from sparse_videogen_tpu.utils.density import DensityLogger
+        from sparse_videogen_tpu.utils.density import DensityLogger, log_sap_states
 
         dlog = DensityLogger(logging_file if pattern == "SAP" else None)
-
-        def log_density(t, states):
-            if dlog.path is None:
-                return
-            import numpy as np
-
-            dens = np.asarray(states.last_density)  # (n_layers, BH)
-            for li in range(dens.shape[0]):
-                if dens[li].any():
-                    dlog.log(t, li, dens[li])
-
         sstate = sch.init_state(lat)
         for i in range(num_inference_steps):
             t = float(sch.timesteps[i])
@@ -229,7 +218,7 @@ class WanPipeline:
             v = v_uncond + guidance_scale * (v_cond - v_uncond)
             lat, sstate = sch.step(i, lat, v, sstate)
             if pattern == "SAP":
-                log_density(t, astates[0] if not cfg_batch else astates)
+                log_sap_states(dlog, t, astates[0] if not cfg_batch else astates)
             if callback is not None:
                 callback(i, lat)
         return lat

@@ -34,6 +34,20 @@ class DensityLogger:
             f.write(json.dumps(entry) + "\n")
 
 
+def log_sap_states(dlog: "DensityLogger", timestep, states) -> None:
+    """Log per-layer SAP densities from stacked attention states.
+
+    states.last_density is (n_layers, B*H); dense/warm-up layers leave
+    zeros and are skipped (the reference logs sparse steps only).
+    """
+    if dlog.path is None:
+        return
+    dens = np.asarray(states.last_density)
+    for li in range(dens.shape[0]):
+        if dens[li].any():
+            dlog.log(timestep, li, dens[li])
+
+
 def mean_density(path: str) -> float:
     vals = []
     with open(path) as f:

@@ -128,7 +128,7 @@ def test_cosmos_forward_parity(per_frame, fps):
     else:
         t = np.full((B,), 500.0, np.float32)
 
-    out = np.asarray(CM.cosmos_forward(params, CFG, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), fps=fps))
+    out = np.asarray(CM.cosmos_forward(params, CFG, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx), fps=fps)[0])
     ref = torch_forward(params, CFG, torch.tensor(x), torch.tensor(t), torch.tensor(ctx), fps=fps).numpy()
     assert out.shape == ref.shape == (B, 16, Fr, H, W)
     np.testing.assert_allclose(out, ref, rtol=3e-4, atol=3e-4)
@@ -143,3 +143,37 @@ def test_cosmos_cli_smoke(tmp_path):
                          "--num_inference_steps", "2"])
         lat = np.load(out)["latents"]
         assert np.isfinite(lat).all() and lat.shape[1] == 16
+
+
+def test_cosmos_sap_state_threads_through_steps():
+    """Regression: cosmos_forward must RETURN the scanned attention states —
+    dropping them (pre-fix) silently re-ran SAP's cold iter_init k-means
+    every denoising step and never logged density."""
+    import numpy as np
+
+    from sparse_videogen_tpu.config import SAPConfig
+
+    cfg = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=64, num_layers=2,
+                          text_embed_dim=64, adaln_lora_dim=16, max_size=(8, 16, 16))
+    params = CM.init_cosmos_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(0).standard_normal((1, 24, 64)), jnp.float32)
+    from sparse_videogen_tpu.config import SVGConfig, WarmupSchedule
+    from sparse_videogen_tpu.pipelines.cosmos import cosmos_layout
+    from sparse_videogen_tpu.sparse.runtimes import SAPRuntime
+    from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
+
+    layout = cosmos_layout(cfg, 128, 128, 17)
+    plan = make_svg1_plan(layout, SVGConfig(num_sampled_rows=8),
+                          WarmupSchedule(first_layers=0, first_times=1001.0))
+    rt = SAPRuntime(plan, SAPConfig(num_q_centroids=6, num_k_centroids=8,
+                                    kmeans_iter_init=4, block_q=128, block_kv=128,
+                                    max_runs=8),
+                    WarmupSchedule(first_layers=0, first_times=1001.0))
+    st = rt.init_state(2 * cfg.num_attention_heads, cfg.attention_head_dim, cfg.num_layers)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, cfg.in_channels, 3, 16, 16)), jnp.float32)
+    out, st1 = CM.cosmos_forward(
+        params, cfg, x, jnp.full((2,), 1.0, jnp.float32), jnp.concatenate([ctx, ctx], 0),
+        attention=rt, attn_states=st, attn_consts=rt.consts(), rng=jax.random.PRNGKey(0))
+    assert bool(np.asarray(st1.initialized).all()), "states must thread out"
+    assert float(np.asarray(st1.last_density).mean()) > 0
