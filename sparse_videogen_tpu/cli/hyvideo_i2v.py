@@ -18,6 +18,14 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser("hyvideo_i2v")
     p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
+    p.add_argument("--negative_prompt", type=str, default=None,
+                   help="accepted for reference-script parity; unused with "
+                        "embedded guidance")
+    p.add_argument("--resolution", type=str, default=None, choices=["480p", "720p"],
+                   help="accepted for reference-script parity (output naming); "
+                        "--height/--width control the actual size")
+    p.add_argument("--logging_file", type=str, default=None,
+                   help="JSONL density telemetry for SAP patterns (reference flag)")
     p.add_argument("--image_path", type=str, default=None,
                    help="conditioning image; .npy = precomputed VAE latents (1,16,1,h,w)")
     p.add_argument("--data_path", type=str, default=None)

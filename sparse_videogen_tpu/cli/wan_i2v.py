@@ -18,7 +18,12 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser("wan_i2v")
     p.add_argument("--prompt", type=str, default="A cat walks on the grass, realistic")
-    p.add_argument("--neg_prompt", type=str, default="")
+    p.add_argument("--neg_prompt", "--negative_prompt", dest="neg_prompt",
+                   type=str, default="")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="VBench I2V data suite dir (reference --data_path)")
+    p.add_argument("--logging_file", type=str, default=None,
+                   help="JSONL density telemetry for SAP (reference --logging_file)")
     p.add_argument("--image_path", type=str, default=None,
                    help="conditioning image (png/jpg); .npy = (3, H, W) array in [-1, 1]")
     p.add_argument("--prompt_source", type=str, default="prompt",
