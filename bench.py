@@ -61,7 +61,19 @@ def main():
 
     wan = safe("bench_wan_e2e.py")
     wan14 = safe("bench_wan14b.py")
-    hyv = run_sub("bench_hyvideo.py")
+    hyv = safe("bench_hyvideo.py")
+    if not hyv.get("value"):
+        # headline sub-bench failed: still emit a parseable line with the
+        # wan measurement so the round records SOMETHING (vs_baseline
+        # against wan's own 1.51x reference)
+        print(json.dumps({
+            "metric": "wan_720p_svg1_e2e_speedup_fallback",
+            "value": wan.get("value", 0.0), "unit": "x",
+            "vs_baseline": wan.get("vs_baseline", 0.0),
+            "note": "bench_hyvideo failed; wan numbers reported",
+            "wan14b_720p_svg1_e2e_speedup": wan14.get("value"),
+        }))
+        return
 
     out = {
         "metric": "hyvideo_720p_svg1_e2e_speedup",
@@ -70,6 +82,7 @@ def main():
         "vs_baseline": round(hyv["value"] / REF_HYVIDEO, 3) if hyv["value"] else 0.0,
         "hyvideo_dense_step_s": hyv.get("dense_step_s"),
         "hyvideo_svg1_step_s": hyv.get("svg1_step_s"),
+        "hyvideo_sap_e2e_speedup": hyv.get("sap_e2e_speedup"),
         "wan_720p_svg1_e2e_speedup": wan.get("value"),
         "wan_720p_svg1_vs_ref": wan.get("vs_baseline"),
         "wan_720p_sap_e2e_speedup": wan.get("sap_e2e_speedup"),
