@@ -5,6 +5,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -27,6 +29,7 @@ def build_parser():
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--model_dir", type=str, default=None)
+    add_model_id(p, "THUDM/CogVideoX1.5-5B-I2V")
     p.add_argument("--output_path", type=str, default="output_cog.npz")
     p.add_argument("--skip_existing", action="store_true",
                    help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
@@ -60,6 +63,7 @@ def main(argv=None):
     use_dynamic_cfg = args.version == "v1"
     vae_decode = None
 
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: smoke generation with random weights")
         cfg = CM.CogConfig(num_layers=2, hidden_size=128, heads_num=2, head_dim=64,

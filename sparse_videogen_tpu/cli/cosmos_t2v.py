@@ -5,6 +5,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -20,6 +22,7 @@ def build_parser():
     p.add_argument("--logging_file", type=str, default=None,
                    help="JSONL density telemetry for SAP (reference --logging_file)")
     p.add_argument("--model_dir", type=str, default=None)
+    add_model_id(p, "nvidia/Cosmos-1.0-Diffusion-14B-Text2World")
     p.add_argument("--model_size", type=str, default="7B", choices=["7B", "14B"])
     p.add_argument("--height", type=int, default=704)
     p.add_argument("--width", type=int, default=1280)
@@ -76,6 +79,7 @@ def main(argv=None):
         args.prompt, _ = load_prompt_or_image(
             args.prompt_source, args.prompt_idx, args.prompt, None)
 
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: smoke generation with random weights")
         cfg = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=64, num_layers=2,

@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -33,6 +35,7 @@ def build_parser():
                    choices=["prompt", "I2V_VBench", "I2V_Wan_Web"])
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None)
+    add_model_id(p, "hunyuanvideo-community/HunyuanVideo-I2V")
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--num_frames", type=int, default=129)
@@ -85,6 +88,7 @@ def main(argv=None):
     pattern = "SVG" if args.pattern == "sparse" else "dense"
     vae_decode = None
 
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("smoke generation with random weights")
         cfg = HM.HyVideoConfig(in_channels=33, hidden_size=256, heads_num=4,

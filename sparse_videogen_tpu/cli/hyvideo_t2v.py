@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import argparse
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -23,8 +25,12 @@ def build_parser():
                    help="preset for --height/--width (480p=480x720, 720p=720x1280); "
                         "explicit --height/--width win")
     p.add_argument("--model_dir", type=str, default=None)
+    add_model_id(p, "tencent/HunyuanVideo")
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
+    p.add_argument("--data_path", type=str, default=None,
+                   help="reference-parity flag (hyvideo_t2v_inference.py:25, "
+                        "VBench I2V data suite; unused by the T2V path there too)")
     p.add_argument("--logging_file", type=str, default=None,
                    help="JSONL density/latency telemetry (reference --logging_file)")
     p.add_argument("--num_frames", type=int, default=129)
@@ -98,6 +104,7 @@ def main(argv=None):
         args.width = pw if args.width is None else args.width
 
     vae_decode = None
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("smoke generation with random weights")
         # head_dim 64 (2*head_dim % 128 == 0): the kernel's packed-KV DMA needs

@@ -12,6 +12,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -22,6 +24,10 @@ def build_parser():
                    type=str, default="")
     p.add_argument("--data_path", type=str, default=None,
                    help="VBench I2V data suite dir (reference --data_path)")
+    p.add_argument("--attention_backend", type=str, default="flexattn",
+                   choices=["flashinfer", "flexattn"],
+                   help="reference-parity flag (wan_i2v_inference.py:44); both "
+                        "map to the one universal Pallas kernel here")
     p.add_argument("--logging_file", type=str, default=None,
                    help="JSONL density telemetry for SAP (reference --logging_file)")
     p.add_argument("--image_path", type=str, default=None,
@@ -31,6 +37,7 @@ def build_parser():
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None,
                    help="dir with transformer/ image_encoder/ vae/ text_encoder/ (diffusers layout)")
+    add_model_id(p, "Wan-AI/Wan2.1-I2V-14B-720P-Diffusers")
     p.add_argument("--resolution", type=str, default="720p", choices=["480p", "720p"])
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--num_inference_steps", type=int, default=50)
@@ -111,6 +118,7 @@ def main(argv=None):
     flow_shift = 5.0 if args.resolution == "720p" else 3.0
     vae_decode = None
 
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: running smoke generation with random weights")
         cfg = WM.WanConfig(model_type="i2v", in_dim=36, dim=256, ffn_dim=512,

@@ -17,6 +17,8 @@ from __future__ import annotations
 import argparse
 import os
 
+from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+
 import numpy as np
 
 
@@ -31,6 +33,7 @@ def build_parser():
                         '--prompt is the .txt/dir and --prompt_idx selects the line')
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None, help="dir with transformer safetensors (+ optional vae/umt5)")
+    add_model_id(p, "Wan-AI/Wan2.1-T2V-14B-Diffusers")
     p.add_argument("--model_size", type=str, default="1.3B", choices=["1.3B", "14B"])
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=832)
@@ -127,6 +130,7 @@ def main(argv=None):
         )
 
     vae_decode = None
+    args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: running smoke generation with random weights")
         # head_dim 64: the kernel's packed-KV DMA needs 2*head_dim % 128 == 0
