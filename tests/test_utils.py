@@ -287,3 +287,31 @@ def test_int8_w8a8_linear_path():
     # bf16 activations keep the path working and return bf16
     yb = L.linear(qs, x.astype(jnp.bfloat16))
     assert yb.dtype == jnp.bfloat16
+
+
+def test_cli_model_id_parity(tmp_path):
+    """Every CLI accepts the reference's --model_id (reference entry scripts,
+    e.g. wan_t2v_inference.py:22): a local dir folds into --model_dir, an HF
+    repo id (no network here) resolves to None -> smoke fallback."""
+    import types
+
+    from sparse_videogen_tpu.cli._common import resolve_model_dir
+
+    ns = lambda **kw: types.SimpleNamespace(model_dir=None, smoke=False, **kw)
+    assert resolve_model_dir(ns(model_id=str(tmp_path))) == str(tmp_path)
+    assert resolve_model_dir(ns(model_id="Wan-AI/Wan2.1-T2V-14B-Diffusers")) is None
+    explicit = types.SimpleNamespace(model_dir="/x", model_id=str(tmp_path), smoke=False)
+    assert resolve_model_dir(explicit) == "/x"
+
+    for mod, flags in [
+        ("wan_t2v", ["--model_id", "Wan-AI/Wan2.1-T2V-14B-Diffusers"]),
+        ("wan_i2v", ["--model_id", "Wan-AI/Wan2.1-I2V-14B-720P-Diffusers",
+                     "--attention_backend", "flashinfer"]),
+        ("hyvideo_t2v", ["--model_id", "tencent/HunyuanVideo", "--data_path", "/d"]),
+        ("hyvideo_i2v", ["--model_id", "hunyuanvideo-community/HunyuanVideo-I2V"]),
+        ("cog_i2v", ["--model_id", "THUDM/CogVideoX1.5-5B-I2V"]),
+        ("cosmos_t2v", ["--model_id", "nvidia/Cosmos-1.0-Diffusion-14B-Text2World"]),
+    ]:
+        cli = __import__(f"sparse_videogen_tpu.cli.{mod}", fromlist=["build_parser"])
+        args = cli.build_parser().parse_args(flags)
+        assert args.model_id == flags[1]
