@@ -404,6 +404,10 @@ def block_sparse_attention_kv(
     Skv = kv.shape[1]
     assert q.shape[2] == D, (q.shape, kv.shape)
     assert Sq % block_q == 0 and Skv % SUB == 0 and Skv >= block_kv
+    # metadata chunk counts (_run_chunks / block_kv // SUB) walk SUB-aligned
+    # chunk bases; a block_kv that is not a SUB multiple silently visits the
+    # wrong windows (found by the full-density fuzz, tests/test_sap_fuzz.py)
+    assert block_kv % SUB == 0, (block_kv, SUB)
 
     nQ = Sq // block_q
     R = meta.shape[0]
@@ -977,6 +981,10 @@ def block_sparse_attention_runs(
     Skv = kv.shape[1]
     assert q.shape[2] == D, (q.shape, kv.shape)
     assert Sq % block_q == 0 and Skv % SUB == 0 and Skv >= block_kv
+    # metadata chunk counts (_run_chunks / block_kv // SUB) walk SUB-aligned
+    # chunk bases; a block_kv that is not a SUB multiple silently visits the
+    # wrong windows (found by the full-density fuzz, tests/test_sap_fuzz.py)
+    assert block_kv % SUB == 0, (block_kv, SUB)
 
     nQ = Sq // block_q
     R = meta.shape[0]

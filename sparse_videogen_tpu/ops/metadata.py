@@ -278,6 +278,7 @@ def run_meta_jnp(sel, starts, sizes, *, block_kv: int, cap: int):
     Returns meta (R, NR, 1 + 2*cap) int32.
     """
     R, NR, C = sel.shape
+    assert block_kv % SUB == 0, (block_kv, SUB)  # _run_chunks walks SUB-aligned bases
     starts = starts.astype(jnp.int32)
     ends = (starts + sizes).astype(jnp.int32)
     sel = sel & (sizes > 0)[:, None, :]

@@ -1,0 +1,82 @@
+"""Randomized SAP full-density exactness fuzz.
+
+Property: with top_p_kmeans=1.0 and min_kc_ratio=1.0 every cluster pair is
+selected, so the whole SAP machinery (k-means, dynamic map, popularity
+relabel, padded q permutation, unpadded KV sort, run metadata, runs kernel,
+inverse permutation) must reproduce exact dense attention — for ANY
+clustering, any shape, any block size. Text-last layouts follow the
+reference's prompt post-processing semantics (hyvideo/attention.py:657-702 +
+flash-varlen real_len truncation): real tokens (video + prompt) attend among
+themselves, padding attends only to itself — so the oracle there is dense
+over the real prefix + dense over the padding tail.
+
+This fuzz found a real gap: block_kv < 128 (the metadata SUB) silently
+produced wrong windows (the run->chunk walk is SUB-aligned); it is now an
+assert in run_meta_jnp / block_sparse_attention_runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_videogen_tpu.config import SAPConfig, VideoLayout
+from sparse_videogen_tpu.core.attention_ref import dense_attention
+from sparse_videogen_tpu.sparse.svg2 import init_sap_state, sap_sparse_attention
+
+CASES = [
+    # (nf, fs, ctx, prompt_len, qc, kc, block_q)
+    (3, 48, 0, 0, 23, 38, 32),     # many clusters, most empty
+    (5, 37, 0, 0, 2, 33, 32),      # qc=2 degenerate
+    (4, 90, 0, 0, 14, 9, 128),     # kc < qc
+    (3, 48, 17, 8, 5, 21, 32),     # tiny text tail
+    (5, 90, 256, 111, 10, 27, 128),  # hyvideo-like text-last
+    (3, 90, 29, 2, 24, 2, 64),     # kc=2 + nearly-empty prompt
+]
+
+
+@pytest.mark.parametrize("nf,fs,ctx,pl,qc,kc,bq", CASES)
+def test_sap_full_density_equals_dense(nf, fs, ctx, pl, qc, kc, bq):
+    H, D = 2, 64
+    S = nf * fs + ctx
+    if ctx:
+        layout = VideoLayout(num_frames=nf, frame_size=fs, context_length=ctx,
+                             text_position="last", prompt_length=pl)
+    else:
+        layout = VideoLayout(num_frames=nf, frame_size=fs)
+    cfg = SAPConfig(num_q_centroids=qc, num_k_centroids=kc, top_p_kmeans=1.0,
+                    min_kc_ratio=1.0, kmeans_iter_init=3, kmeans_iter_step=2,
+                    block_q=bq, block_kv=128)
+    key = jax.random.PRNGKey(hash((nf, fs, ctx, qc, kc)) % (2**31))
+    kq, kk, kv_, ks = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (1, H, S, D), jnp.float32)
+    k = jax.random.normal(kk, (1, H, S, D), jnp.float32)
+    v = jax.random.normal(kv_, (1, H, S, D), jnp.float32)
+
+    state = init_sap_state(H, D, cfg)
+    out, state1 = sap_sparse_attention(q, k, v, state, ks, layout=layout, cfg=cfg)
+    out_warm, _ = sap_sparse_attention(q, k, v, state1, ks, layout=layout, cfg=cfg)
+
+    real = nf * fs + pl
+    ref_real = dense_attention(q[:, :, :real], k[:, :, :real], v[:, :, :real])
+    scale_ref = float(jnp.max(jnp.abs(ref_real)))
+    for o in (out, out_warm):
+        err = float(jnp.max(jnp.abs(o[:, :, :real] - ref_real))) / scale_ref
+        assert err < 3e-5, err
+        if real < S:  # padding tail attends only to itself
+            ref_pad = dense_attention(q[:, :, real:], k[:, :, real:], v[:, :, real:])
+            errp = float(jnp.max(jnp.abs(o[:, :, real:] - ref_pad)))
+            errp /= float(jnp.max(jnp.abs(ref_pad))) + 1e-9
+            assert errp < 3e-5, errp
+
+
+def test_sub_aligned_block_kv_guard():
+    """block_kv must be a multiple of the metadata SUB (128): smaller values
+    silently mis-walk chunk windows (this fuzz's original failure mode)."""
+    from sparse_videogen_tpu.ops import metadata as MD
+
+    sel = jnp.ones((1, 1, 2), bool)
+    starts = jnp.asarray([[0, 5]], jnp.int32)
+    sizes = jnp.asarray([[5, 5]], jnp.int32)
+    with pytest.raises(AssertionError):
+        MD.run_meta_jnp(sel, starts, sizes, block_kv=64, cap=2)
