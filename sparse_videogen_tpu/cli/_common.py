@@ -37,3 +37,36 @@ def resolve_model_dir(args, logger=None):
             "network: convert the checkpoint locally (io/checkpoint.py) and "
             "pass --model_dir. Falling back to smoke generation.")
     return None
+
+
+def add_vae_tiling_flags(p):
+    """Reference parity: pipe.vae.enable_tiling() (hyvideo_t2v_inference.py:81,
+    diffusers tiled_decode). Auto tiles when a latent frame exceeds 64x64
+    (≈512p) — whole-frame decode at 720p x 129f needs ~60 GB of activations,
+    far beyond one 16 GB v5e chip."""
+    p.add_argument("--vae_tiling", type=str, default="auto",
+                   choices=["auto", "on", "off"])
+    p.add_argument("--vae_tile", type=int, default=32,
+                   help="latent tile edge (pixels = 8x)")
+    p.add_argument("--vae_tile_overlap", type=int, default=8,
+                   help="latent overlap blended between adjacent tiles")
+    return p
+
+
+def make_vae_decoder(args, module, params, cfg, logger):
+    """Build the pipeline's vae_decode callable honoring --vae_tiling."""
+    import jax
+
+    mode = getattr(args, "vae_tiling", "auto")
+    tile = getattr(args, "vae_tile", 32)
+    overlap = getattr(args, "vae_tile_overlap", 8)
+
+    def decode(z):
+        h, w = z.shape[-2], z.shape[-1]
+        if mode == "on" or (mode == "auto" and h * w > 64 * 64):
+            logger.info(f"VAE decode: spatial tiling (latent {h}x{w}, "
+                        f"tile={tile}, overlap={overlap})")
+            return module.vae_decode_tiled(params, cfg, z, tile=tile, overlap=overlap)
+        return jax.jit(lambda zz: module.vae_decode(params, cfg, zz))(z)
+
+    return decode

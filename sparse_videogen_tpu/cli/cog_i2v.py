@@ -5,7 +5,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -30,6 +31,7 @@ def build_parser():
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--model_dir", type=str, default=None)
     add_model_id(p, "THUDM/CogVideoX1.5-5B-I2V")
+    add_vae_tiling_flags(p)
     p.add_argument("--output_path", type=str, default="output_cog.npz")
     p.add_argument("--skip_existing", action="store_true",
                    help="skip generation when the output file exists (batch resume, wan_t2v_inference.py:62-65)")
@@ -116,7 +118,7 @@ def main(argv=None):
 
             vae_cfg = cog_vae_config_from_json(vae_dir) or CVAE.CogVAEConfig()
             vae_params = convert_cog_vae(load_safetensors_dir(vae_dir), vae_cfg)
-            vae_decode = jax.jit(lambda z: CVAE.vae_decode(vae_params, vae_cfg, z))
+            vae_decode = make_vae_decoder(args, CVAE, vae_params, vae_cfg, logger)
 
         assert args.image_path is not None, "--image_path required for I2V"
         if args.image_path.endswith(".npy"):

@@ -12,7 +12,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -36,6 +37,7 @@ def build_parser():
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None)
     add_model_id(p, "hunyuanvideo-community/HunyuanVideo-I2V")
+    add_vae_tiling_flags(p)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--num_frames", type=int, default=129)
@@ -153,7 +155,7 @@ def main(argv=None):
         vae_dir = os.path.join(args.model_dir, "vae")
         vcfg = dataclass_from_json(vae_dir, HVV.HyVideoVAEConfig) or HVV.HyVideoVAEConfig()
         vparams = convert_hyvideo_vae(load_safetensors_dir(vae_dir), vcfg)
-        vae_decode = jax.jit(lambda z: HVV.vae_decode(vparams, vcfg, z))
+        vae_decode = make_vae_decoder(args, HVV, vparams, vcfg, logger)
 
         if args.image_path.endswith(".npy"):
             img_lat = jnp.asarray(np.load(args.image_path), jnp.float32)

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import argparse
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -26,6 +27,7 @@ def build_parser():
                         "explicit --height/--width win")
     p.add_argument("--model_dir", type=str, default=None)
     add_model_id(p, "tencent/HunyuanVideo")
+    add_vae_tiling_flags(p)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--data_path", type=str, default=None,
@@ -149,7 +151,7 @@ def main(argv=None):
 
             vcfg = dataclass_from_json(vae_dir, HVV.HyVideoVAEConfig) or HVV.HyVideoVAEConfig()
             vparams = convert_hyvideo_vae(load_safetensors_dir(vae_dir), vcfg)
-            vae_decode = jax.jit(lambda z: HVV.vae_decode(vparams, vcfg, z))
+            vae_decode = make_vae_decoder(args, HVV, vparams, vcfg, logger)
         else:
             logger.warning(f"no {vae_dir}: saving latents instead of video")
 

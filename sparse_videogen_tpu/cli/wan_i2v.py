@@ -12,7 +12,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -38,6 +39,7 @@ def build_parser():
     p.add_argument("--model_dir", type=str, default=None,
                    help="dir with transformer/ image_encoder/ vae/ text_encoder/ (diffusers layout)")
     add_model_id(p, "Wan-AI/Wan2.1-I2V-14B-720P-Diffusers")
+    add_vae_tiling_flags(p)
     p.add_argument("--resolution", type=str, default="720p", choices=["480p", "720p"])
     p.add_argument("--num_frames", type=int, default=81)
     p.add_argument("--num_inference_steps", type=int, default=50)
@@ -179,7 +181,7 @@ def main(argv=None):
             [img_r[:, :, None], jnp.zeros((1, 3, args.num_frames - 1, H, W))], axis=2
         )
         img_lat = WV.vae_encode(vae_params, vae_cfg, vid)
-        vae_decode = jax.jit(lambda z: WV.vae_decode(vae_params, vae_cfg, z))
+        vae_decode = make_vae_decoder(args, WV, vae_params, vae_cfg, logger)
 
     latent_cond = build_i2v_condition(img_lat)
 

@@ -17,7 +17,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -34,6 +35,7 @@ def build_parser():
     p.add_argument("--prompt_idx", type=int, default=0)
     p.add_argument("--model_dir", type=str, default=None, help="dir with transformer safetensors (+ optional vae/umt5)")
     add_model_id(p, "Wan-AI/Wan2.1-T2V-14B-Diffusers")
+    add_vae_tiling_flags(p)
     p.add_argument("--model_size", type=str, default="1.3B", choices=["1.3B", "14B"])
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--width", type=int, default=832)
@@ -154,7 +156,7 @@ def main(argv=None):
 
             vae_cfg = WV.WanVAEConfig(dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
             vae_params = WV.init_wan_vae_params(jax.random.PRNGKey(1), vae_cfg)
-            vae_decode = jax.jit(lambda z: WV.vae_decode(vae_params, vae_cfg, z))
+            vae_decode = make_vae_decoder(args, WV, vae_params, vae_cfg, logger)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_wan_dit,
@@ -194,7 +196,7 @@ def main(argv=None):
 
             vae_cfg = dataclass_from_json(vae_dir, WV.WanVAEConfig) or WV.WanVAEConfig()
             vae_params = convert_wan_vae(load_safetensors_dir(vae_dir), vae_cfg)
-            vae_decode = jax.jit(lambda z: WV.vae_decode(vae_params, vae_cfg, z))
+            vae_decode = make_vae_decoder(args, WV, vae_params, vae_cfg, logger)
         else:
             logger.warning(f"no {vae_dir}: saving latents instead of video")
 

@@ -351,3 +351,15 @@ def init_cog_vae_params(rng, cfg: CogVAEConfig, dtype=jnp.float32):
         "conv_out": _conv3_init(next(ks), 3, 3, 3, bo[0], cfg.out_channels, dtype),
     }
     return {"encoder": encoder, "decoder": decoder}
+
+
+def vae_decode_tiled(params, cfg: CogVAEConfig, z, *, tile: int = 32, overlap: int = 8):
+    """Spatially tiled decode (diffusers CogVideoX enable_tiling analog; see
+    models/common/vae_tiling.py)."""
+    import jax as _jax
+
+    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
+
+    f = _jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
+    return spatial_tiled_decode(lambda zt: f(params, zt), z,
+                                tile=tile, overlap=overlap, scale=8)

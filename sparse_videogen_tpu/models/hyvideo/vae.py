@@ -304,3 +304,15 @@ def init_hyvideo_vae_params(rng, cfg: HyVideoVAEConfig, dtype=jnp.float32):
         "quant_conv": _conv_init(next(ks), 1, 1, 1, 2 * z, 2 * z, dtype),
         "post_quant_conv": _conv_init(next(ks), 1, 1, 1, z, z, dtype),
     }
+
+
+def vae_decode_tiled(params, cfg: HyVideoVAEConfig, z, *, tile: int = 32, overlap: int = 8):
+    """Spatially tiled decode (reference: pipe.vae.enable_tiling(),
+    hyvideo_t2v_inference.py:81; see models/common/vae_tiling.py)."""
+    import jax as _jax
+
+    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
+
+    f = _jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
+    return spatial_tiled_decode(lambda zt: f(params, zt), z,
+                                tile=tile, overlap=overlap, scale=8)

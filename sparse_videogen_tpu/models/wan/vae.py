@@ -328,3 +328,16 @@ def init_wan_vae_params(rng, cfg: WanVAEConfig = WanVAEConfig(), dtype=jnp.float
         "conv1": _conv3d_init(next(keys), 1, 1, 1, 2 * cfg.z_dim, 2 * cfg.z_dim, dtype),
         "conv2": _conv3d_init(next(keys), 1, 1, 1, cfg.z_dim, cfg.z_dim, dtype),
     }
+
+
+def vae_decode_tiled(params, cfg: WanVAEConfig, z, *, tile: int = 32, overlap: int = 8):
+    """Spatially tiled decode (reference: diffusers enable_tiling; see
+    models/common/vae_tiling.py). Bounds peak memory by the tile footprint —
+    required for 480p+/81f decode on a 16 GB chip."""
+    import jax as _jax
+
+    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
+
+    f = _jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
+    return spatial_tiled_decode(lambda zt: f(params, zt), z,
+                                tile=tile, overlap=overlap, scale=8)
