@@ -5,7 +5,8 @@ from __future__ import annotations
 import argparse
 import os
 
-from sparse_videogen_tpu.cli._common import add_model_id, resolve_model_dir
+from sparse_videogen_tpu.cli._common import (add_model_id, add_vae_tiling_flags,
+                                             make_vae_decoder, resolve_model_dir)
 
 import numpy as np
 
@@ -23,6 +24,7 @@ def build_parser():
                    help="JSONL density telemetry for SAP (reference --logging_file)")
     p.add_argument("--model_dir", type=str, default=None)
     add_model_id(p, "nvidia/Cosmos-1.0-Diffusion-14B-Text2World")
+    add_vae_tiling_flags(p)
     p.add_argument("--model_size", type=str, default="7B", choices=["7B", "14B"])
     p.add_argument("--height", type=int, default=704)
     p.add_argument("--width", type=int, default=1280)
@@ -94,6 +96,13 @@ def main(argv=None):
         args.num_q_centroids = min(args.num_q_centroids, 8)
         args.num_k_centroids = min(args.num_k_centroids, 12)
         args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
+        from sparse_videogen_tpu.models.cosmos import vae as CVAE
+
+        vcfg = CVAE.CosmosVAEConfig(base_channels=16, channels_mult=(1, 2),
+                                    num_res_blocks=1,
+                                    latent_channels=cfg.out_channels)
+        vparams = CVAE.init_cosmos_vae_params(jax.random.PRNGKey(1), vcfg)
+        vae_decode = make_vae_decoder(args, CVAE, vparams, vcfg, logger)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_cosmos_dit,
@@ -125,6 +134,18 @@ def main(argv=None):
         ctx_null = encode([args.negative_prompt]).astype(jnp.bfloat16)
         del t5_params
 
+        vae_dir = os.path.join(args.model_dir, "vae")
+        if os.path.isdir(vae_dir):
+            from sparse_videogen_tpu.io.checkpoint import convert_cosmos_vae
+            from sparse_videogen_tpu.models.cosmos import vae as CVAE
+
+            vcfg = dataclass_from_json(vae_dir, CVAE.CosmosVAEConfig) or CVAE.COSMOS_VAE_CV8x8x8
+            vparams = convert_cosmos_vae(load_safetensors_dir(vae_dir), vcfg)
+            vae_decode = make_vae_decoder(args, CVAE, vparams, vcfg, logger)
+        else:
+            vae_decode = None
+            logger.warning(f"no {vae_dir}: saving latents instead of video")
+
     from sparse_videogen_tpu.cli._parallel import mesh_and_shard
 
     mesh, params = mesh_and_shard(args, params, logger)
@@ -149,8 +170,18 @@ def main(argv=None):
         seed=args.seed,
         logging_file=args.logging_file,
     )
-    np.savez(args.output_file, latents=np.asarray(lat))
-    logger.info(f"saved latents {lat.shape} -> {args.output_file}")
+    if vae_decode is not None:
+        from sparse_videogen_tpu.pipelines.wan import export_video
+
+        video = np.asarray(vae_decode(lat))
+        out = args.output_file
+        if out.endswith(".npz"):
+            out = out[: -len(".npz")] + ".y4m"
+        export_video(video, out, fps=args.fps)  # reference fps=30 (cosmos_t2v_inference.py:161)
+        logger.info(f"saved video {video.shape} -> {out}")
+    else:
+        np.savez(args.output_file, latents=np.asarray(lat))
+        logger.info(f"saved latents {lat.shape} -> {args.output_file}")
 
 
 if __name__ == "__main__":

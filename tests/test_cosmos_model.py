@@ -138,11 +138,12 @@ def test_cosmos_cli_smoke(tmp_path):
     from sparse_videogen_tpu.cli import cosmos_t2v
 
     out = str(tmp_path / "cosmos.npz")
+    y4m = tmp_path / "cosmos.y4m"  # smoke now decodes through the tokenizer VAE
     for pattern in ("SVG", "SAP"):
+        y4m.unlink(missing_ok=True)
         cosmos_t2v.main(["--smoke", "--pattern", pattern, "--output_file", out,
                          "--num_inference_steps", "2"])
-        lat = np.load(out)["latents"]
-        assert np.isfinite(lat).all() and lat.shape[1] == 16
+        assert y4m.exists() and y4m.read_bytes()[:9] == b"YUV4MPEG2"
 
 
 def test_cosmos_sap_state_threads_through_steps():
