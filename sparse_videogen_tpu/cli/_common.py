@@ -50,6 +50,12 @@ def add_vae_tiling_flags(p):
                    help="latent tile edge (pixels = 8x)")
     p.add_argument("--vae_tile_overlap", type=int, default=8,
                    help="latent overlap blended between adjacent tiles")
+    p.add_argument("--vae_stream_chunk", type=int, default=0,
+                   help="decode in N-latent-frame streamed chunks with a "
+                        "per-conv cache — EXACT, bounds temporal memory "
+                        "(the reference WanVAE's own streaming decode, "
+                        "vae.py:584-610). 0 = whole-sequence. Composes "
+                        "with --vae_tiling. Wan VAE only for now.")
     return p
 
 
@@ -60,13 +66,28 @@ def make_vae_decoder(args, module, params, cfg, logger):
     mode = getattr(args, "vae_tiling", "auto")
     tile = getattr(args, "vae_tile", 32)
     overlap = getattr(args, "vae_tile_overlap", 8)
+    stream = getattr(args, "vae_stream_chunk", 0)
+    if stream and not hasattr(module, "vae_decode_streamed"):
+        logger.warning(f"--vae_stream_chunk: {module.__name__} has no streamed "
+                       "decode; falling back to whole-sequence")
+        stream = 0
+
+    def base(zz):
+        if stream:
+            return module.vae_decode_streamed(params, cfg, zz, chunk=stream)
+        return module.vae_decode(params, cfg, zz)
 
     def decode(z):
         h, w = z.shape[-2], z.shape[-1]
         if mode == "on" or (mode == "auto" and h * w > 64 * 64):
             logger.info(f"VAE decode: spatial tiling (latent {h}x{w}, "
-                        f"tile={tile}, overlap={overlap})")
-            return module.vae_decode_tiled(params, cfg, z, tile=tile, overlap=overlap)
-        return jax.jit(lambda zz: module.vae_decode(params, cfg, zz))(z)
+                        f"tile={tile}, overlap={overlap}"
+                        + (f", streamed chunk={stream}" if stream else "") + ")")
+            from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
+
+            return spatial_tiled_decode(jax.jit(base), z, tile=tile,
+                                        overlap=overlap,
+                                        scale=getattr(cfg, "spatial_compression", 8))
+        return jax.jit(base)(z)
 
     return decode

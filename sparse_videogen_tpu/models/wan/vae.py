@@ -26,6 +26,7 @@ layout for convolutions; weights are stored as (kt, kh, kw, Cin, Cout).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -328,6 +329,118 @@ def init_wan_vae_params(rng, cfg: WanVAEConfig = WanVAEConfig(), dtype=jnp.float
         "conv1": _conv3d_init(next(keys), 1, 1, 1, 2 * cfg.z_dim, 2 * cfg.z_dim, dtype),
         "conv2": _conv3d_init(next(keys), 1, 1, 1, cfg.z_dim, cfg.z_dim, dtype),
     }
+
+
+class _TCache:
+    """Per-conv temporal state threaded through a streamed decode.
+
+    The reference WanVAE streams frames through the network in chunks with a
+    per-conv feat_cache (vae.py:584-610) — exact, O(1) temporal memory. This
+    is its functional analog: caches are pulled/pushed in code traversal
+    order (fixed), so the state is a flat list. `None` = stream start
+    (zero left-padding, identical to the whole-sequence conv's causal pad).
+    """
+
+    def __init__(self, old):
+        self.old = old
+        self.idx = 0
+        self.new = []
+
+    def pull(self):
+        c = None if self.old is None else self.old[self.idx]
+        self.idx += 1
+        return c
+
+    def push(self, c):
+        self.new.append(c)
+
+
+def _conv3d_stream(p, x, tc, *, activation=None):
+    """Causal conv3d over a chunk with carried (kt-1)-frame input history."""
+    kt = p["w"].shape[0]
+    if kt == 1:
+        y = conv3d(p, x if activation is None else activation(x), t_pad=0)
+        return y
+    cache = tc.pull()
+    if cache is None:
+        # stream start: a zero cache IS the whole-decode causal zero pad.
+        # Invariant: the cache is always exactly kt-1 frames (short first
+        # chunks stay zero-filled on the left).
+        cache = jnp.zeros(x.shape[:1] + (kt - 1,) + x.shape[2:], x.dtype)
+    xin = jnp.concatenate([cache, x], axis=1)
+    tc.push(xin[:, -(kt - 1):])
+    if activation is not None:
+        xin = activation(xin)
+    return conv3d(p, xin, causal=False, t_pad=0)
+
+
+def _res_stream(p, x, tc):
+    h = conv3d(p["shortcut"], x, t_pad=0) if "shortcut" in p else x
+    y = _conv3d_stream(p["conv1"], vae_rms_norm(p["norm1"], x), tc,
+                       activation=jax.nn.silu)
+    y = _conv3d_stream(p["conv2"], vae_rms_norm(p["norm2"], y), tc,
+                       activation=jax.nn.silu)
+    return y + h
+
+
+def _temporal_upsample_stream(p, x, tc, first):
+    B, T, H, W, C = x.shape
+    head = x[:, :1] if first else x[:, :0]
+    rest = x[:, 1:] if first else x
+    if rest.shape[1] == 0:
+        tc.pull()
+        tc.push(None)  # stream has not started; next chunk zero-pads
+        return head
+    y = _conv3d_stream(p["time_conv"], rest, tc)
+    Tr = rest.shape[1]
+    y = y.reshape(B, Tr, H, W, 2, C).transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * Tr, H, W, C)
+    return jnp.concatenate([head, y], axis=1)
+
+
+def decoder_forward_stream(p, cfg: WanVAEConfig, x, tstate, first):
+    """One chunk through the decoder; returns (pixels, new tstate)."""
+    tc = _TCache(tstate)
+    x = _conv3d_stream(p["conv1"], x, tc)
+    for j, blk in enumerate(p["middle"]):
+        x = attention_block(blk, x) if j == 1 else _res_stream(blk, x, tc)
+    for stage in p["up"]:
+        for blk in stage["blocks"]:
+            x = _res_stream(blk, x, tc) if "conv1" in blk else attention_block(blk, x)
+        if "resample" in stage:
+            if "time_conv" in stage["resample"]:
+                x = _temporal_upsample_stream(stage["resample"], x, tc, first)
+            x = spatial_upsample(stage["resample"], x)
+    x = _conv3d_stream(p["head_conv"], vae_rms_norm(p["head_norm"], x), tc,
+                       activation=jax.nn.silu)
+    return x, tc.new
+
+
+def vae_decode_streamed(params, cfg: WanVAEConfig, z, *, chunk: int = 2):
+    """Streamed decode in `chunk`-latent-frame chunks — EXACT (bit-level up
+    to conv-splitting float noise) vs vae_decode, with temporal memory bound
+    by the chunk instead of the full clip. The reference's own WanVAE.decode
+    streams per latent frame with a conv cache (vae.py:584-610); frame-local
+    ops (RMSNorm, per-frame spatial attention) carry no state, so only convs
+    cache. Composes with spatial tiling for a fully bounded footprint."""
+    mean, std = _latent_scale(cfg)
+    z = z * std[None, :, None, None, None] + mean[None, :, None, None, None]
+    x = jnp.transpose(z, (0, 2, 3, 4, 1))
+    x = conv3d(params["conv2"], x)  # 1x1x1, stateless
+    T = x.shape[1]
+
+    # one compiled step per distinct (chunk shape, state structure): the
+    # first chunk, the steady-state chunk, and possibly a short last chunk
+    @functools.partial(jax.jit, static_argnames="first")
+    def step(p, xc, st, first):
+        y, st = decoder_forward_stream(p, cfg, xc, st, first=first)
+        return jnp.clip(y, -1.0, 1.0), st
+
+    outs, tstate = [], None
+    for s in range(0, T, chunk):
+        y, tstate = step(params["decoder"], x[:, s:s + chunk], tstate, s == 0)
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=1)
+    return jnp.transpose(out, (0, 4, 1, 2, 3))
 
 
 def vae_decode_tiled(params, cfg: WanVAEConfig, z, *, tile: int = 32, overlap: int = 8):

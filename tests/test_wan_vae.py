@@ -245,3 +245,47 @@ def test_encode_decode_shapes(params):
     outv = V.vae_decode(params, CFG, z)
     n_up = sum(CFG.temporal_upsample)
     assert outv.shape == (1, 3, 1 + 2 * 2**n_up, 4 * sp, 4 * sp)
+
+
+def test_streamed_decode_exact():
+    """vae_decode_streamed == vae_decode exactly (the reference WanVAE's own
+    feat_cache streaming, vae.py:584-610, as a functional per-conv cache).
+    Exactness holds for ANY chunk size because frame-local ops carry no
+    state and conv caches are exact."""
+    import numpy as np
+
+    from sparse_videogen_tpu.models.wan import vae as WV
+
+    cfg = WV.WanVAEConfig(dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+    params = WV.init_wan_vae_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim, 7, 8, 12)) * 0.5
+    whole = np.asarray(WV.vae_decode(params, cfg, z))
+    for chunk in (1, 2, 5, 7):
+        s = np.asarray(WV.vae_decode_streamed(params, cfg, z, chunk=chunk))
+        np.testing.assert_allclose(s, whole, atol=2e-5)
+
+
+def test_streamed_plus_tiled_decode_via_cli_factory():
+    """--vae_stream_chunk composes with --vae_tiling through make_vae_decoder."""
+    import types
+
+    import numpy as np
+
+    from sparse_videogen_tpu.cli._common import make_vae_decoder
+    from sparse_videogen_tpu.models.wan import vae as WV
+    from sparse_videogen_tpu.utils.logging import logger
+
+    cfg = WV.WanVAEConfig(dim=16, dim_mult=(1, 2, 2, 2), num_res_blocks=1)
+    params = WV.init_wan_vae_params(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim, 5, 12, 16)) * 0.5
+    whole = np.asarray(WV.vae_decode(params, cfg, z))
+    def run(stream):
+        args = types.SimpleNamespace(vae_tiling="on", vae_tile=8,
+                                     vae_tile_overlap=2, vae_stream_chunk=stream)
+        return np.asarray(make_vae_decoder(args, WV, params, cfg, logger)(z))
+
+    tiled_only, composed = run(0), run(2)
+    assert composed.shape == whole.shape
+    # tiling is approximate at tile borders; streaming adds EXACTLY nothing:
+    # the composed output equals the tiling-only output
+    np.testing.assert_allclose(composed, tiled_only, atol=2e-5)
