@@ -101,9 +101,14 @@ def resnet_block(p, x, groups):
     return x + h
 
 
-def mid_attention(p, x, groups):
+def mid_attention(p, x, groups, q_chunk=4096):
     """Single-head full attention over (T*H*W) with frame-causal mask
-    (unet_causal_3d_blocks.py:34-42,592-603); residual connection."""
+    (unet_causal_3d_blocks.py:34-42,592-603); residual connection.
+
+    Queries are processed in q_chunk rows so the logits never materialize as
+    one (S, S) matrix: at 720p x 129f inside a 32-latent spatial tile,
+    S = 33*32*32 = 33.8k and the full matrix is 4.4 GB f32 — a silent OOM on
+    a 16 GB chip. Chunking bounds it at q_chunk*S (exact, same math)."""
     B, C, T, H, W = x.shape
     resid = x
     h = group_norm(p["norm"], x, groups)
@@ -113,12 +118,15 @@ def mid_attention(p, x, groups):
     k = hs.astype(f32) @ p["k"]["w"].astype(f32) + p["k"]["b"]
     v = hs.astype(f32) @ p["v"]["w"].astype(f32) + p["v"]["b"]
     scale = C ** -0.5
-    s = jnp.einsum("bqc,bkc->bqk", q, k) * scale
-    frame_q = jnp.arange(T * H * W) // (H * W)
-    mask = frame_q[:, None] >= frame_q[None, :]
-    s = jnp.where(mask[None], s, -jnp.inf)
-    a = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bqk,bkc->bqc", a, v)
+    S = T * H * W
+    frame_q = jnp.arange(S) // (H * W)
+    chunks = []
+    for s0 in range(0, S, q_chunk):
+        s = jnp.einsum("bqc,bkc->bqk", q[:, s0:s0 + q_chunk], k) * scale
+        mask = frame_q[s0:s0 + q_chunk, None] >= frame_q[None, :]
+        s = jnp.where(mask[None], s, -jnp.inf)
+        chunks.append(jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(s, axis=-1), v))
+    o = jnp.concatenate(chunks, axis=1)
     o = o @ p["o"]["w"].astype(f32) + p["o"]["b"]
     o = o.transpose(0, 2, 1).reshape(B, C, T, H, W).astype(x.dtype)
     return resid + o
