@@ -94,3 +94,36 @@ def spatial_tiled_decode(decode_fn, z, *, tile: int = 32, overlap: int = 8,
             wsum = wsum.at[y0 * scale:(y0 + th) * scale,
                            x0 * scale:(x0 + tw) * scale].add(jnp.asarray(wt2))
     return out / jnp.maximum(wsum.astype(out.dtype), 1e-6)
+
+
+def temporal_context_decode(decode_fn, z, *, tile_t: int, context_t: int = 4,
+                            rate: int = 4):
+    """Decode latents in `tile_t`-frame temporal chunks, each with
+    `context_t` latent frames of true history prepended and the context's
+    pixels dropped (diffusers' tile_sample_min_num_frames analog, but
+    context-based instead of blend-based).
+
+    Causal-decoder frame bookkeeping: a chunk whose first latent is treated
+    as clip head emits 1 + rate*(n-1) pixels; latent j >= 1 of a chunk spans
+    local pixels [rate*(j-1)+1, rate*j]. Keeping latents [a, b) from a chunk
+    decoded over [a-c, b) means dropping the first rate*(c-1)+1 local pixels
+    (c >= 1). Exact for finite-receptive-field decoders with c >= RF; for
+    decoders with temporally-global statistics (GroupNorm over T, causal
+    temporal attention) it is approximate at chunk starts — the same
+    property as diffusers' blended temporal tiling. For the Wan VAE prefer
+    `vae_decode_streamed` (per-conv cache, bit-exact).
+
+    decode_fn: (B, C, t, h, w) latents -> (B, 3, 1 + rate*(t-1), H, W).
+    """
+    B, C, T, h, w = z.shape
+    if T <= tile_t:
+        return decode_fn(z)
+    outs = [decode_fn(z[:, :, :tile_t])]
+    for a in range(tile_t, T, tile_t):
+        c = min(context_t, a)
+        b = min(a + tile_t, T)
+        y = decode_fn(z[:, :, a - c:b])
+        outs.append(y[:, :, rate * (c - 1) + 1:])
+    import jax.numpy as _jnp
+
+    return _jnp.concatenate(outs, axis=2)

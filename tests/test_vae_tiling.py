@@ -66,3 +66,21 @@ def test_tiling_grid_and_weights():
     z = jnp.arange(1 * 1 * 1 * 9 * 13, dtype=jnp.float32).reshape(1, 1, 1, 9, 13)
     out = spatial_tiled_decode(lambda t: t, z, tile=5, overlap=2, scale=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(z), rtol=1e-6)
+
+
+def test_temporal_context_decode_bookkeeping_exact():
+    """Frame bookkeeping oracle: with a zero-receptive-field causal-head toy
+    decoder, temporal_context_decode must be EXACT for any (tile, context).
+    (On real decoders accuracy depends on context vs receptive field — for
+    the Wan VAE use vae_decode_streamed, which is exact by construction.)"""
+    from sparse_videogen_tpu.models.common.vae_tiling import temporal_context_decode
+
+    def toy(z):
+        head, rest = z[:, :, :1], z[:, :, 1:]
+        return jnp.concatenate([head, jnp.repeat(rest, 4, axis=2)], axis=2)
+
+    z = jnp.arange(2 * 3 * 9 * 2 * 2, dtype=jnp.float32).reshape(2, 3, 9, 2, 2)
+    whole = toy(z)
+    for tile_t, ctx in [(3, 1), (3, 4), (2, 2), (4, 3), (9, 1)]:
+        t = temporal_context_decode(toy, z, tile_t=tile_t, context_t=ctx, rate=4)
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(whole))
