@@ -48,8 +48,23 @@ def main():
     except Exception:
         on_tpu = False
     if not on_tpu:
-        print(json.dumps({"metric": "hyvideo_720p_svg1_e2e_speedup", "value": 0.0,
-                          "unit": "x", "vs_baseline": 0.0, "note": "no TPU available"}))
+        # value stays 0 — this run measured nothing. last_measured_on_tpu is
+        # provenance only (the 2026-08-17 full-bench set, NOTES_ROUND3.md),
+        # for when the axon tunnel is down at bench time.
+        print(json.dumps({
+            "metric": "hyvideo_720p_svg1_e2e_speedup", "value": 0.0,
+            "unit": "x", "vs_baseline": 0.0, "note": "no TPU available",
+            "last_measured_on_tpu": {
+                "date": "2026-08-17",
+                "hyvideo_720p_svg1_e2e_speedup": 1.973,
+                "hyvideo_vs_baseline": 1.033,
+                "wan_720p_svg1_e2e_speedup": 1.753,
+                "wan14b_720p_svg1_e2e_speedup": 1.725,
+                "wan_720p_sap_e2e_speedup": 1.032,
+                "wan14b_720p_sap_e2e_speedup": 1.056,
+                "source": "NOTES_ROUND3.md final round-3 bench set",
+            },
+        }))
         return
 
     def safe(script, args=()):
