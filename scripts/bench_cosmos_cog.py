@@ -63,7 +63,10 @@ def main():
                           "unit": "x", "vs_baseline": 0.0, "note": "no TPU"}))
         return
 
-    out = {"metric": "cosmos14b_svg1_e2e_speedup", "unit": "x"}
+    # value always present (a consumer reading result["value"] must not
+    # KeyError when --skip_cosmos is passed)
+    out = {"metric": "cosmos14b_svg1_e2e_speedup", "unit": "x",
+           "value": 0.0, "vs_baseline": 0.0}
 
     # ---- leg 1: Cosmos-14B 704x1280x121f (depth-composed, int8) ----------
     if not args.skip_cosmos:
@@ -79,8 +82,12 @@ def main():
                                        text_embed_dim=32, adaln_lora_dim=16)
             height, width, frames, ctx_len = 64, 96, 9, 8
         layout = cosmos_layout(base, height, width, frames)
-        plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64),
-                              WarmupSchedule(first_layers=0, first_times=1001.0))
+        steps_proxy = np.linspace(1000.0, 0.0, steps, endpoint=False)
+        warm = WarmupSchedule.from_fractions(lfp, tfp, base.num_layers, steps_proxy)
+        # first_layers is constant across measured depths -> absorbed into the
+        # linear fit's intercept -> the composed full-depth step carries
+        # exactly floor(lfp * num_layers) dense layers (reference semantics)
+        plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm)
 
         unit_cfg = dataclasses.replace(base, num_layers=UNIT)
         params_unit = CM.init_cosmos_params(jax.random.PRNGKey(0), unit_cfg,
@@ -128,7 +135,7 @@ def main():
 
         t_dense = fit("dense", DenseRuntime(plan))
         t_svg = fit("svg1", SVG1Runtime(plan))
-        n_warm = int(round(tfp * steps))
+        n_warm = int(np.sum(steps_proxy > warm.first_times))
         # cond/uncond = two B=1 forwards per step for both patterns
         e2e = (steps * t_dense) / (n_warm * t_dense + (steps - n_warm) * t_svg)
         print(f"[bench_cc] cosmos14b 704x1280x121f (S={layout.seq_len}): dense "
@@ -151,8 +158,9 @@ def main():
                                        text_dim=32, time_embed_dim=32)
             height, width, frames = 64, 96, 9
         layout = cog_layout(base, height, width, frames)
-        plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64),
-                              WarmupSchedule(first_layers=0, first_times=1001.0))
+        steps_proxy = np.linspace(1000.0, 0.0, steps, endpoint=False)
+        warm = WarmupSchedule.from_fractions(lfp, tfp, base.num_layers, steps_proxy)
+        plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm)
 
         params = GM.init_cog_params(jax.random.PRNGKey(0), base, dtype=jnp.bfloat16)
         if args.cog_quant == "int8":
@@ -182,7 +190,7 @@ def main():
 
         t_dense = step_t(DenseRuntime(plan, prompt_length=base.text_len))
         t_svg = step_t(SVG1Runtime(plan, prompt_length=base.text_len))
-        n_warm = int(round(tfp * steps))
+        n_warm = int(np.sum(steps_proxy > warm.first_times))
         e2e = (steps * t_dense) / (n_warm * t_dense + (steps - n_warm) * t_svg)
         print(f"[bench_cc] cog1.5-5b 1360x768x81f (S={layout.seq_len}): dense "
               f"{2*t_dense:.2f} s/step, svg1 {2*t_svg:.2f} s/step, {n_warm} warm "

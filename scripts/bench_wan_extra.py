@@ -66,7 +66,8 @@ def main():
         return dataclasses.replace(c, dim=128, ffn_dim=256, num_heads=2,
                                    num_layers=2, text_len=16, text_dim=64)
 
-    out = {"metric": "wan_480p_svg1_e2e_speedup", "unit": "x"}
+    out = {"metric": "wan_480p_svg1_e2e_speedup", "unit": "x",
+           "value": 0.0, "vs_baseline": 0.0}
 
     # ---- leg 1: 1.3B T2V 480p --------------------------------------------
     if not args.skip_480p:

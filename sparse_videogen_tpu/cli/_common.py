@@ -15,10 +15,15 @@ import os
 
 
 def add_model_id(p, default: str):
+    # default None (not the reference's repo id): the id is only usable for
+    # downloads, which this environment cannot do — a non-None default made
+    # every plain smoke run log a misleading "you passed an HF repo id"
+    # warning for a flag the user never typed.
     p.add_argument(
-        "--model_id", type=str, default=default,
+        "--model_id", type=str, default=None,
         help="reference-parity flag: HF repo id (informational; no network "
-             "here) or a local converted checkpoint dir (used as --model_dir)")
+             f"here; reference default {default}) or a local converted "
+             "checkpoint dir (used as --model_dir)")
     return p
 
 
@@ -77,6 +82,12 @@ def make_vae_decoder(args, module, params, cfg, logger):
             return module.vae_decode_streamed(params, cfg, zz, chunk=stream)
         return module.vae_decode(params, cfg, zz)
 
+    # vae_decode_streamed jits its own per-chunk steps (one executable per
+    # chunk shape, shared across tiles); wrapping it in an outer jit would
+    # unroll the host chunk loop into one huge XLA program — jit only the
+    # whole-sequence path.
+    run = base if stream else jax.jit(base)
+
     def decode(z):
         h, w = z.shape[-2], z.shape[-1]
         if mode == "on" or (mode == "auto" and h * w > 64 * 64):
@@ -85,9 +96,8 @@ def make_vae_decoder(args, module, params, cfg, logger):
                         + (f", streamed chunk={stream}" if stream else "") + ")")
             from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
 
-            return spatial_tiled_decode(jax.jit(base), z, tile=tile,
-                                        overlap=overlap,
+            return spatial_tiled_decode(run, z, tile=tile, overlap=overlap,
                                         scale=getattr(cfg, "spatial_compression", 8))
-        return jax.jit(base)(z)
+        return run(z)
 
     return decode

@@ -1043,15 +1043,20 @@ def convert_cosmos_vae(sd: dict, cfg, dtype=jnp.float32):
                 "o": lin1(pick(f"{p}.proj_out", f"{p}.to_out.0"))}
 
     def mid(p):
-        # temporal attention prefix varies (attn_2 / temporal_attn_1); if the
-        # checkpoint has neither, reuse attn_1's weights for the temporal
-        # branch (an architecture variant without temporal attention would
-        # need the module gated off instead — fail-obvious over fail-silent)
-        tp = f"{p}.attn_1"
+        # temporal attention prefix varies (attn_2 / temporal_attn_1); a
+        # checkpoint with neither is an architecture variant this module
+        # tree cannot represent — fail loudly, never run temporal attention
+        # with the spatial weights
+        tp = None
         for cand in (f"{p}.attn_2", f"{p}.temporal_attn_1"):
             if f"{cand}.norm.weight" in sd:
                 tp = cand
                 break
+        if tp is None:
+            raise KeyError(
+                f"cosmos vae: no temporal attention under {p} "
+                f"(tried attn_2/temporal_attn_1) — architecture variant "
+                f"without temporal attention needs the module gated off")
         return {"res1": res(f"{p}.block_1", f"{p}.resnets.0"),
                 "attn_s": attn(f"{p}.attn_1"),
                 "attn_t": attn(tp),

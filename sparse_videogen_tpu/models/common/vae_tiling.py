@@ -116,6 +116,7 @@ def temporal_context_decode(decode_fn, z, *, tile_t: int, context_t: int = 4,
     decode_fn: (B, C, t, h, w) latents -> (B, 3, 1 + rate*(t-1), H, W).
     """
     B, C, T, h, w = z.shape
+    assert context_t >= 1, "context_t must be >= 1 (the drop-count math needs c >= 1)"
     if T <= tile_t:
         return decode_fn(z)
     outs = [decode_fn(z[:, :, :tile_t])]
@@ -127,3 +128,14 @@ def temporal_context_decode(decode_fn, z, *, tile_t: int, context_t: int = 4,
     import jax.numpy as _jnp
 
     return _jnp.concatenate(outs, axis=2)
+
+
+def jit_tiled_decode(decode, params, cfg, z, *, tile=32, overlap=8, scale=8):
+    """Shared body of the per-model vae_decode_tiled wrappers: jit the whole
+    decode once (one executable for every same-shape tile) and run it
+    through spatial_tiled_decode."""
+    import jax
+
+    f = jax.jit(lambda p, zt: decode(p, cfg, zt))
+    return spatial_tiled_decode(lambda zt: f(params, zt), z,
+                                tile=tile, overlap=overlap, scale=scale)

@@ -62,10 +62,9 @@ class CosmosVAEConfig:
     patch_size: int = 4  # Haar levels = log2(patch_size)
     spatial_compression: int = 8
     temporal_compression: int = 8
-    # spatial attention is skipped above this many bottleneck tokens per
-    # frame at TRACE time? No — it is architectural: the original only
-    # instantiates attention at its attn_resolutions; the diffusers port
-    # keeps mid attention always. We keep it always and chunk the queries.
+    # mid spatial attention runs per frame with queries chunked to this many
+    # rows (the bottleneck frame is ~14k tokens at 704x1280 — the full
+    # (S, S) logits matrix must never materialize)
     attn_q_chunk: int = 2048
     latents_mean: tuple | None = None
     latents_std: tuple | None = None
@@ -322,12 +321,10 @@ def vae_decode(params, cfg: CosmosVAEConfig, z):
 
 def vae_decode_tiled(params, cfg: CosmosVAEConfig, z, *, tile: int = 32, overlap: int = 8):
     """Spatially tiled decode (models/common/vae_tiling.py)."""
-    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
+    from sparse_videogen_tpu.models.common.vae_tiling import jit_tiled_decode
 
-    f = jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
-    return spatial_tiled_decode(lambda zt: f(params, zt), z,
-                                tile=tile, overlap=overlap,
-                                scale=cfg.spatial_compression)
+    return jit_tiled_decode(vae_decode, params, cfg, z, tile=tile,
+                            overlap=overlap, scale=cfg.spatial_compression)
 
 
 # ---------------------------------------------------------------------------

@@ -317,10 +317,7 @@ def init_hyvideo_vae_params(rng, cfg: HyVideoVAEConfig, dtype=jnp.float32):
 def vae_decode_tiled(params, cfg: HyVideoVAEConfig, z, *, tile: int = 32, overlap: int = 8):
     """Spatially tiled decode (reference: pipe.vae.enable_tiling(),
     hyvideo_t2v_inference.py:81; see models/common/vae_tiling.py)."""
-    import jax as _jax
+    from sparse_videogen_tpu.models.common.vae_tiling import jit_tiled_decode
 
-    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
-
-    f = _jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
-    return spatial_tiled_decode(lambda zt: f(params, zt), z,
-                                tile=tile, overlap=overlap, scale=8)
+    return jit_tiled_decode(vae_decode, params, cfg, z, tile=tile,
+                            overlap=overlap, scale=8)

@@ -447,10 +447,7 @@ def vae_decode_tiled(params, cfg: WanVAEConfig, z, *, tile: int = 32, overlap: i
     """Spatially tiled decode (reference: diffusers enable_tiling; see
     models/common/vae_tiling.py). Bounds peak memory by the tile footprint —
     required for 480p+/81f decode on a 16 GB chip."""
-    import jax as _jax
+    from sparse_videogen_tpu.models.common.vae_tiling import jit_tiled_decode
 
-    from sparse_videogen_tpu.models.common.vae_tiling import spatial_tiled_decode
-
-    f = _jax.jit(lambda p, zt: vae_decode(p, cfg, zt))
-    return spatial_tiled_decode(lambda zt: f(params, zt), z,
-                                tile=tile, overlap=overlap, scale=8)
+    return jit_tiled_decode(vae_decode, params, cfg, z, tile=tile,
+                            overlap=overlap, scale=8)

@@ -122,3 +122,17 @@ def test_converter_roundtrip():
     assert z.shape == (1, 4, 2, 2, 2)
     y = CV.vae_decode(params, TINY, z)
     assert y.shape == v.shape and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_converter_rejects_missing_temporal_attention():
+    """fail-loudly contract: a checkpoint without attn_2/temporal_attn_1 must
+    raise, never silently reuse attn_1's weights for the temporal branch."""
+    import pytest
+
+    from sparse_videogen_tpu.io.checkpoint import convert_cosmos_vae
+
+    sd = _fake_sd(TINY)
+    for k in [k for k in sd if ".attn_2." in k]:
+        del sd[k]
+    with pytest.raises(KeyError, match="temporal attention"):
+        convert_cosmos_vae(sd, TINY)
