@@ -82,6 +82,15 @@ def main(argv=None):
             rng.standard_normal((1, cfg.out_channels, 1, args.height // 8, args.width // 8)),
             jnp.float32,
         )
+        if not args.output_path.endswith(".npz"):
+            # video output requested: decode through a tiny random
+            # VAE so the full pixels->container path runs in smoke
+            from sparse_videogen_tpu.models.cog import vae as CVAE
+
+            vae_cfg = CVAE.CogVAEConfig(block_out_channels=(16, 16, 16, 16),
+                                        layers_per_block=1, norm_num_groups=4)
+            vae_params = CVAE.init_cog_vae_params(jax.random.PRNGKey(1), vae_cfg)
+            vae_decode = make_vae_decoder(args, CVAE, vae_params, vae_cfg, logger)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             cog_config_from_json,

@@ -81,6 +81,7 @@ def main(argv=None):
         args.prompt, _ = load_prompt_or_image(
             args.prompt_source, args.prompt_idx, args.prompt, None)
 
+    vae_decode = None
     args.model_dir = resolve_model_dir(args, logger)
     if args.smoke or args.model_dir is None:
         logger.warning("no --model_dir: smoke generation with random weights")
@@ -96,13 +97,16 @@ def main(argv=None):
         args.num_q_centroids = min(args.num_q_centroids, 8)
         args.num_k_centroids = min(args.num_k_centroids, 12)
         args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
-        from sparse_videogen_tpu.models.cosmos import vae as CVAE
+        if not args.output_file.endswith(".npz"):
+            # video output requested: decode through a tiny random
+            # VAE so the full pixels->container path runs in smoke
+            from sparse_videogen_tpu.models.cosmos import vae as CVAE
 
-        vcfg = CVAE.CosmosVAEConfig(base_channels=16, channels_mult=(1, 2),
-                                    num_res_blocks=1,
-                                    latent_channels=cfg.out_channels)
-        vparams = CVAE.init_cosmos_vae_params(jax.random.PRNGKey(1), vcfg)
-        vae_decode = make_vae_decoder(args, CVAE, vparams, vcfg, logger)
+            vcfg = CVAE.CosmosVAEConfig(base_channels=16, channels_mult=(1, 2),
+                                        num_res_blocks=1,
+                                        latent_channels=cfg.out_channels)
+            vparams = CVAE.init_cosmos_vae_params(jax.random.PRNGKey(1), vcfg)
+            vae_decode = make_vae_decoder(args, CVAE, vparams, vcfg, logger)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_cosmos_dit,

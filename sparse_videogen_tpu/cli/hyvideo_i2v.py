@@ -110,6 +110,15 @@ def main(argv=None):
             rng.standard_normal((1, 16, 1, args.height // 8, args.width // 8)) * 0.1,
             jnp.float32,
         )
+        if not args.output_file.endswith(".npz"):
+            # video output requested: decode through a tiny random
+            # VAE so the full pixels->container path runs in smoke
+            from sparse_videogen_tpu.models.hyvideo import vae as HVV
+
+            vcfg = HVV.HyVideoVAEConfig(block_out_channels=(16, 16, 16, 16),
+                                        layers_per_block=1, norm_num_groups=4)
+            vparams = HVV.init_hyvideo_vae_params(jax.random.PRNGKey(1), vcfg)
+            vae_decode = make_vae_decoder(args, HVV, vparams, vcfg, logger)
     else:
         from sparse_videogen_tpu.io.checkpoint import (
             convert_hyvideo_dit,

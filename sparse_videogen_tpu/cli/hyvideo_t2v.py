@@ -126,6 +126,15 @@ def main(argv=None):
         args.num_q_centroids = min(args.num_q_centroids, 8)
         args.num_k_centroids = min(args.num_k_centroids, 12)
         args.kmeans_iter_init = min(args.kmeans_iter_init, 8)
+        if not args.output_file.endswith(".npz"):
+            # video output requested: decode through a tiny random
+            # VAE so the full pixels->container path runs in smoke
+            from sparse_videogen_tpu.models.hyvideo import vae as HVV
+
+            vcfg = HVV.HyVideoVAEConfig(block_out_channels=(16, 16, 16, 16),
+                                        layers_per_block=1, norm_num_groups=4)
+            vparams = HVV.init_hyvideo_vae_params(jax.random.PRNGKey(1), vcfg)
+            vae_decode = make_vae_decoder(args, HVV, vparams, vcfg, logger)
     else:
         import os
 

@@ -138,12 +138,17 @@ def test_cosmos_cli_smoke(tmp_path):
     from sparse_videogen_tpu.cli import cosmos_t2v
 
     out = str(tmp_path / "cosmos.npz")
-    y4m = tmp_path / "cosmos.y4m"  # smoke now decodes through the tokenizer VAE
     for pattern in ("SVG", "SAP"):
-        y4m.unlink(missing_ok=True)
         cosmos_t2v.main(["--smoke", "--pattern", pattern, "--output_file", out,
                          "--num_inference_steps", "2"])
-        assert y4m.exists() and y4m.read_bytes()[:9] == b"YUV4MPEG2"
+        lat = np.load(out)["latents"]
+        assert np.isfinite(lat).all() and lat.shape[1] == 16
+    # a video extension routes through the tokenizer VAE (wan convention:
+    # .npz = latents, video ext = tiny-random-VAE decode in smoke mode)
+    y4m = tmp_path / "cosmos.y4m"
+    cosmos_t2v.main(["--smoke", "--output_file", str(y4m),
+                     "--num_inference_steps", "2"])
+    assert y4m.read_bytes()[:9] == b"YUV4MPEG2"
 
 
 def test_cosmos_sap_state_threads_through_steps():
