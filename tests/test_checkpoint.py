@@ -323,13 +323,8 @@ def test_convert_hyvideo_vae_structure():
     assert tree_shapes(params) == tree_shapes(ref)
 
 
-def test_convert_cosmos_dit_structure():
-    from sparse_videogen_tpu.models.cosmos import model as CM
-
-    cfg = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=32, num_layers=2,
-                          text_embed_dim=24, adaln_lora_dim=8, max_size=(4, 8, 8))
-    ref = CM.init_cosmos_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
-    rng = np.random.default_rng(5)
+def make_sd_cosmos(cfg, seed=5):
+    rng = np.random.default_rng(seed)
     sd = {}
     h = cfg.hidden_size
 
@@ -362,8 +357,16 @@ def test_convert_cosmos_dit_structure():
     sd["learnable_pos_embed.pos_emb_t"] = rng.standard_normal((mt, h)).astype(np.float32)
     sd["learnable_pos_embed.pos_emb_h"] = rng.standard_normal((mh, h)).astype(np.float32)
     sd["learnable_pos_embed.pos_emb_w"] = rng.standard_normal((mw, h)).astype(np.float32)
+    return sd
 
-    params = CK.convert_cosmos_dit(sd, cfg, dtype=jnp.float32)
+
+def test_convert_cosmos_dit_structure():
+    from sparse_videogen_tpu.models.cosmos import model as CM
+
+    cfg = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=32, num_layers=2,
+                          text_embed_dim=24, adaln_lora_dim=8, max_size=(4, 8, 8))
+    ref = CM.init_cosmos_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    params = CK.convert_cosmos_dit(make_sd_cosmos(cfg), cfg, dtype=jnp.float32)
     assert tree_shapes(params) == tree_shapes(ref)
 
 
