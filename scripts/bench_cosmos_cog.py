@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--skip_cog", action="store_true")
     ap.add_argument("--cog_quant", choices=["none", "int8"], default="none",
                     help="int8 fallback if bf16 5B does not fit next to activations")
+    ap.add_argument("--no_sap", action="store_true",
+                    help="skip the cosmos SVG2/SAP leg (dense + svg1 only)")
+    ap.add_argument("--density", type=float, default=0.25,
+                    help="SAP force_density (random weights degenerate top-p)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + tiny models on CPU (path validation)")
     args = ap.parse_args()
@@ -52,8 +56,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from sparse_videogen_tpu.config import SVGConfig, WarmupSchedule
-    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
+    from sparse_videogen_tpu.config import SAPConfig, SVGConfig, WarmupSchedule
+    from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SAPRuntime, SVG1Runtime
     from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
     from sparse_videogen_tpu.utils.benchmark import measure_fenced as measure
     from sparse_videogen_tpu.utils.quant import quantize_linears_int8
@@ -107,7 +111,7 @@ def main():
         ctx = jax.random.normal(jax.random.PRNGKey(2),
                                 (1, ctx_len, base.text_embed_dim), jnp.bfloat16)
 
-        def fit(name, runtime):
+        def fit(name, runtime, warm_state=False):
             consts = runtime.consts()
             ts = []
             for u in args.units:
@@ -122,7 +126,11 @@ def main():
 
                 s0 = runtime.init_state(cfg_r.num_attention_heads,
                                         cfg_r.attention_head_dim, cfg_r.num_layers)
-                t_u = measure(lambda: fwd(tiled(u), x, 500.0, ctx, s0, consts),
+                params_u = tiled(u)
+                if warm_state:
+                    _, s0 = jax.block_until_ready(
+                        fwd(params_u, x, 500.0, ctx, s0, consts))
+                t_u = measure(lambda: fwd(params_u, x, 500.0, ctx, s0, consts),
                               iters=args.iters, warmup=1)
                 print(f"[bench_cc] cosmos {name} u={u}: {t_u:.2f} s",
                       file=sys.stderr, flush=True)
@@ -144,6 +152,31 @@ def main():
         out.update(value=round(e2e, 3), vs_baseline=round(e2e / 2.0, 3),
                    cosmos_dense_step_s=round(2 * t_dense, 3),
                    cosmos_svg1_step_s=round(2 * t_svg, 3))
+
+        if not args.no_sap:
+            # reference cosmos SVG2 config (cosmos_t2v_sap.sh): qc=400 kc=1000
+            # top_p=0.9 min_kc=0.10 iter_init=50 iter_step=2 TFP=0.3; SAP leg
+            # is best-effort (must not kill the svg1 result above)
+            try:
+                qc, kc, it = (6, 8, 3) if args.smoke else (400, 1000, 50)
+                sap_cfg = SAPConfig(num_q_centroids=qc, num_k_centroids=kc,
+                                    top_p_kmeans=0.9, min_kc_ratio=0.10,
+                                    kmeans_iter_init=it, kmeans_iter_step=2,
+                                    force_density=args.density)
+                sap_rt = SAPRuntime(plan, sap_cfg,
+                                    WarmupSchedule(first_layers=0, first_times=1001.0))
+                t_cold = fit("sap-cold", sap_rt)
+                t_warms = fit("sap-warm", sap_rt, warm_state=True)
+                e2e_sap = (steps * t_dense) / (
+                    n_warm * t_dense + t_cold + (steps - n_warm - 1) * t_warms)
+                print(f"[bench_cc] cosmos sap: warm {2*t_warms:.2f} s/step "
+                      f"(cold {2*t_cold:.2f}) -> e2e {e2e_sap:.3f}x",
+                      file=sys.stderr, flush=True)
+                out.update(cosmos_sap_e2e_speedup=round(e2e_sap, 3),
+                           cosmos_sap_density=args.density)
+            except Exception as e:
+                print(f"[bench_cc] cosmos sap leg failed ({e!r})",
+                      file=sys.stderr, flush=True)
 
     # ---- leg 2: CogVideoX1.5-5B I2V 1360x768x81f (whole-depth) -----------
     if not args.skip_cog:
