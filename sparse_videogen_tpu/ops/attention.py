@@ -51,6 +51,7 @@ from sparse_videogen_tpu.ops.mask_spec import MaskSpec, apply_mask_spec
 from sparse_videogen_tpu.ops.metadata import ENTRY_SCALE, SUB
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634  # log2(e), for exp2-domain softmax
 
 
 def pack_kv(k, v):
@@ -77,6 +78,7 @@ def _kernel(
     qsplit: int = 1,
     return_stats: bool = False,
     fast_mask: bool = True,
+    use_exp2: bool = False,
 ):
     if return_stats:
         o_ref, m_ref, l_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
@@ -134,8 +136,16 @@ def _kernel(
             kv_copy(w % NS, w).start()
 
     # scale folded into q once per grid step: saves a full (block_q,
-    # block_kv) f32 multiply per chunk (f32 mul then cast keeps one rounding)
-    q_s = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # block_kv) f32 multiply per chunk (f32 mul then cast keeps one rounding).
+    # exp2 domain (use_exp2): fold log2(e) into the scale so the softmax
+    # exponentials are raw exp2 — the VPU's native transcendental; jnp.exp
+    # lowers to exp2(x * log2e) with an extra full-tile multiply per chunk.
+    # p values are mathematically identical (2^(log2e*x) == e^x); only the
+    # m stat changes units (converted back at return_stats below). Same
+    # trick as _runs_expand_kernel (369 vs 376 ms measured there).
+    eff_scale = scale * LOG2E if use_exp2 else scale
+    expf = jnp.exp2 if use_exp2 else jnp.exp
+    q_s = (q_ref[0].astype(jnp.float32) * eff_scale).astype(q_ref.dtype)
     # ping-pong q sub-tiles: qsplit independent (acc, m, l) chains against
     # the SAME KV chunk let the scheduler hide one tile's VPU softmax under
     # another tile's MXU matmuls, with NO state merge (each sub-tile owns its
@@ -270,12 +280,12 @@ def _kernel(
 
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m, m_cur)
-            alpha = jnp.exp(m - m_new)
+            alpha = expf(m - m_new)
             # rows with every column masked so far have m_new ~ NEG_INF;
             # exponent against 0 instead so their p underflows to exactly 0
             # (no p-kill pass needed in either branch)
             m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
-            p = jnp.exp(s - m_safe)
+            p = expf(s - m_safe)
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v_blk.dtype),
@@ -363,8 +373,10 @@ def _kernel(
         for u in range(1, unroll):
             a2, m2, l2 = states[3 * u: 3 * u + 3]
             m_new = jnp.maximum(m, m2)
-            a0 = jnp.exp(m - m_new)
-            a1 = jnp.exp(m2 - m_new)
+            # ms guard: all-NEG_INF rows exponentiate against 0 -> weights 0
+            ms = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+            a0 = expf(m - ms)
+            a1 = expf(m2 - ms)
             acc = acc * a0 + a2 * a1
             l = l * a0 + l2 * a1
             m = m_new
@@ -374,13 +386,18 @@ def _kernel(
     # (the m_safe exponent guarantees p == 0 for them in every chunk)
     o_ref[0] = o.astype(o_ref.dtype)
     if return_stats:
+        if use_exp2:
+            # convert the running max back to natural-log units so ring
+            # combination across shards stays domain-consistent; keep the
+            # NEG_INF no-live-column sentinel unscaled
+            m = jnp.where(m > 0.5 * NEG_INF, m / LOG2E, m)
         m_ref[0] = m.reshape(block_q // 128, 128)
         l_ref[0] = l.reshape(block_q // 128, 128)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "qsplit", "interpret", "return_stats", "fast_mask"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "qsplit", "interpret", "return_stats", "fast_mask", "use_exp2"),
 )
 def block_sparse_attention_kv(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -398,6 +415,7 @@ def block_sparse_attention_kv(
     interpret: bool | None = None,
     return_stats: bool = False,
     fast_mask: bool = True,
+    use_exp2: bool = True,
 ):
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
     D = D2 // 2
@@ -447,6 +465,7 @@ def block_sparse_attention_kv(
         qsplit=qsplit,
         return_stats=return_stats,
         fast_mask=fast_mask,
+        use_exp2=use_exp2,
     )
 
     out_specs = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)

@@ -234,3 +234,37 @@ def test_qsplit_matches_qsplit1(qsplit):
     base = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv, mask_spec=spec)
     got = block_sparse_attention_kv(q, kv, meta, block_q=bq, block_kv=bkv, mask_spec=spec, qsplit=qsplit)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5, rtol=1e-4)
+
+
+def test_exp2_domain_matches_exp():
+    """exp2-domain softmax (log2e folded into the q scale, VPU-native exp2)
+    vs natural-exp: outputs match to rounding, and return_stats m comes back
+    in NATURAL-log units either way (the ring-combine domain contract)."""
+    from sparse_videogen_tpu.ops.attention import block_sparse_attention_kv, pack_kv
+    from sparse_videogen_tpu.ops.mask_spec import MaskSpec
+    from sparse_videogen_tpu.ops.metadata import chunk_meta_np, kv_counts_for_seq
+
+    BH, S, D, bq, bkv = 2, 1024, 64, 256, 256
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32)
+    kv = pack_kv(
+        jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32),
+        jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32),
+    )
+    bm = rng.random((BH, S // bq, S // 128)) < 0.6
+    bm[:, :, 0] = True
+    meta = jnp.asarray(
+        chunk_meta_np(bm, np.broadcast_to(kv_counts_for_seq(S), (BH, S // 128)), block_kv=bkv)
+    )
+    spec = MaskSpec(kind="band_sink", band_width=300, sink_size=128)
+    for kw in (dict(), dict(mask_spec=spec), dict(unroll=2)):
+        o_exp, m_exp, l_exp = block_sparse_attention_kv(
+            q, kv, meta, block_q=bq, block_kv=bkv, return_stats=True,
+            use_exp2=False, **kw)
+        o_e2, m_e2, l_e2 = block_sparse_attention_kv(
+            q, kv, meta, block_q=bq, block_kv=bkv, return_stats=True,
+            use_exp2=True, **kw)
+        np.testing.assert_allclose(np.asarray(o_e2), np.asarray(o_exp), atol=1e-5, rtol=1e-4)
+        # m must be natural-log domain in BOTH cases (ring combine mixes them)
+        np.testing.assert_allclose(np.asarray(m_e2), np.asarray(m_exp), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(l_e2), np.asarray(l_exp), atol=1e-4, rtol=1e-4)
