@@ -37,6 +37,7 @@ import dataclasses
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -62,7 +63,15 @@ def main():
                     help="skip the SVG2/SAP runtime (dense + svg1 only)")
     ap.add_argument("--sap_block_q", type=int, default=128,
                     help="SAP q block (128 pads ~21%% at qc=400 vs ~43%% at 256)")
+    ap.add_argument("--budget", type=float, default=0,
+                    help="soft wall-clock budget in seconds (0 = unlimited); "
+                         "the bench bails out cleanly between measurements "
+                         "and composes/emits whatever it has")
     args = ap.parse_args()
+    t_start = time.monotonic()
+
+    def rem():
+        return (args.budget - (time.monotonic() - t_start)) if args.budget else 1e9
 
     import jax
     import jax.numpy as jnp
@@ -158,8 +167,7 @@ def main():
                                 iters=args.iters, warmup=1)
         return t_cold, t_warm
 
-    runtimes = [("dense", DenseRuntime(plan, prompt_length=args.prompt_length)),
-                ("svg1", SVG1Runtime(plan, prompt_length=args.prompt_length))]
+    sap_rt = None
     if not args.no_sap:
         # reference hyvideo 720p SVG2 config (hyvideo_t2v_720p_sap.sh):
         # qc=400 kc=1000 top_p=0.9 min_kc=0.10 iter_init=50 iter_step=2.
@@ -172,8 +180,10 @@ def main():
                             kmeans_iter_init=50, kmeans_iter_step=2,
                             block_q=args.sap_block_q, max_runs=256,
                             force_density=0.25)
-        runtimes.append(("sap", SAPRuntime(
-            plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))))
+        sap_rt = SAPRuntime(plan, sap_cfg,
+                            WarmupSchedule(first_layers=0, first_times=1001.0))
+    runtimes = {"dense": DenseRuntime(plan, prompt_length=args.prompt_length),
+                "svg1": SVG1Runtime(plan, prompt_length=args.prompt_length)}
 
     def compose_and_report(results, final):
         """Emit the JSON line; called once after dense+svg1 (so a sap-leg
@@ -215,41 +225,93 @@ def main():
                 out["sap_cold_step_s"] = round(t_sap_cold, 3)
         print(json.dumps(out), flush=True)
 
+    times = {"dense": {}, "svg1": {}}
     results = {}
-    for name, runtime in runtimes:
-        if name == "sap":
-            compose_and_report(results, final=False)
-        ts, ts_cold = [], []
+
+    def refit():
+        """(Re)fit (a, b_unit) per runtime from the points measured so far.
+        With a single point, fall back to dense's fitted intercept: the
+        u-independent overhead (embeds, token refiner, final head, rope) is
+        the same computation in every runtime."""
+        results.clear()
+        for name, pts in times.items():
+            if len(pts) >= 2:
+                us = np.asarray(sorted(pts), np.float64)
+                ts = np.asarray([pts[u] for u in sorted(pts)])
+                b, a = np.polyfit(us, ts, 1)
+                resid = float(np.max(np.abs(a + b * us - ts)))
+                print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s, "
+                      f"max fit residual {resid*1e3:.0f} ms", file=sys.stderr)
+                results[name] = {"a": a, "b_unit": b}
+        for name, pts in times.items():
+            if len(pts) == 1 and name != "dense" and "dense" in results:
+                (u, t), = pts.items()
+                a = results["dense"]["a"]
+                results[name] = {"a": a, "b_unit": (t - a) / u, "note": "shared_intercept"}
+
+    # interleaved (dense u, svg1 u) measurement order: a budget bail-out at
+    # any point leaves the most composable set, and a JSON snapshot is
+    # emitted after every point once both runtimes have one (the driver
+    # takes the last line)
+    done = False
+    for u in args.units:
+        for name in ("dense", "svg1"):
+            if rem() <= 0 and times["dense"] and times["svg1"]:
+                print(f"[bench_hyvideo] budget exhausted before {name} u={u}",
+                      file=sys.stderr)
+                done = True
+                break
+            cfg_r = dataclasses.replace(
+                base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
+            t = step_time(runtimes[name], cfg_r, tiled(params_unit, u))
+            times[name][u] = t
+            print(f"[bench_hyvideo] {name} u={u} ({2*u}d+{4*u}s, S={layout.seq_len}): "
+                  f"{t:.2f} s/step  [budget rem {rem():.0f}s]", file=sys.stderr)
+            refit()
+            if "dense" in results and "svg1" in results:
+                compose_and_report(results, final=False)
+        if done:
+            break
+
+    if not ("dense" in results and "svg1" in results):
+        print(json.dumps({"metric": "hyvideo_720p_svg1_e2e_speedup", "value": 0.0,
+                          "unit": "x", "vs_baseline": 0.0,
+                          "note": "budget too small for one dense+svg1 pair"}))
+        return
+
+    # SAP leg (optional; never jeopardizes the headline). Each unit costs
+    # ~2 cold + 3 warm full-seq forwards plus a compile; skip outright when
+    # the remaining budget clearly cannot fit one.
+    if sap_rt is not None and rem() > 60:
         try:
+            ts_cold, ts_warm, us_done = [], [], []
             for u in args.units:
+                if us_done and rem() <= 0:
+                    break
                 cfg_r = dataclasses.replace(
                     base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
-                if name == "sap":
-                    tc, t = step_time(runtime, cfg_r, tiled(params_unit, u), carry_state=True)
-                    ts_cold.append(tc)
-                    extra = f" (cold {tc:.2f})"
-                else:
-                    t = step_time(runtime, cfg_r, tiled(params_unit, u))
-                    extra = ""
-                print(f"[bench_hyvideo] {name} u={u} ({2*u}d+{4*u}s, S={layout.seq_len}): "
-                      f"{t:.2f} s/step{extra}", file=sys.stderr)
-                ts.append(t)
-        except Exception as e:  # the optional sap leg must not kill the headline
-            if name != "sap":
-                raise
+                tc, tw = step_time(sap_rt, cfg_r, tiled(params_unit, u), carry_state=True)
+                print(f"[bench_hyvideo] sap u={u}: warm {tw:.2f} (cold {tc:.2f}) s/step "
+                      f"[budget rem {rem():.0f}s]", file=sys.stderr)
+                ts_cold.append(tc)
+                ts_warm.append(tw)
+                us_done.append(u)
+            if len(us_done) >= 2:
+                us = np.asarray(us_done, np.float64)
+                b, a = np.polyfit(us, np.asarray(ts_warm), 1)
+                bc, ac = np.polyfit(us, np.asarray(ts_cold), 1)
+                results["sap"] = {"a": a, "b_unit": b, "a_cold": ac, "b_cold": bc}
+            elif len(us_done) == 1:
+                a = results["dense"]["a"]
+                results["sap"] = {"a": a, "b_unit": (ts_warm[0] - a) / us_done[0],
+                                  "a_cold": a, "b_cold": (ts_cold[0] - a) / us_done[0],
+                                  "note": "shared_intercept"}
+        except Exception as e:
             print(f"[bench_hyvideo] sap leg failed ({e!r}); reporting dense/svg1 only",
                   file=sys.stderr)
-            continue
-        us = np.asarray(args.units, np.float64)
-        tsa = np.asarray(ts)
-        b, a = np.polyfit(us, tsa, 1)
-        resid = float(np.max(np.abs(a + b * us - tsa)))
-        print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s, "
-              f"max fit residual {resid*1e3:.0f} ms", file=sys.stderr)
-        results[name] = {"a": a, "b_unit": b, "steps": ts}
-        if ts_cold:
-            bc, ac = np.polyfit(us, np.asarray(ts_cold), 1)
-            results[name]["a_cold"], results[name]["b_cold"] = ac, bc
+    elif sap_rt is not None:
+        print(f"[bench_hyvideo] skipping sap leg ({rem():.0f}s budget left)",
+              file=sys.stderr)
 
     compose_and_report(results, final=True)
 

@@ -28,6 +28,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -43,7 +44,15 @@ def main():
     ap.add_argument("--units", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--density", type=float, default=0.25)
+    ap.add_argument("--budget", type=float, default=0,
+                    help="soft wall-clock budget in seconds (0 = unlimited); "
+                         "the SAP legs are skipped when exhausted (a "
+                         "dense+svg1 JSON snapshot is always emitted first)")
     args = ap.parse_args()
+    t_start = time.monotonic()
+
+    def rem():
+        return (args.budget - (time.monotonic() - t_start)) if args.budget else 1e9
 
     import dataclasses
 
@@ -126,30 +135,39 @@ def main():
 
     t_dense = fit("dense", DenseRuntime(plan), 1)
     t_svg = fit("svg1", SVG1Runtime(plan), 1)
-    sap_rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
-    t_sap_cold = fit("sap-cold", sap_rt, 1)
-    t_sap_warm = fit("sap-warm", sap_rt, 1, warm_state=True)
 
     # steps = 2 x B=1 forwards for every pattern (see docstring)
     n_warm_svg = int(np.sum(timesteps > warm_svg.first_times))
     n_warm_sap = int(np.sum(timesteps > warm_sap.first_times))
     e2e_dense = NUM_STEPS * 2 * t_dense
     e2e_svg = 2 * (n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg)
-    e2e_sap = 2 * (n_warm_sap * t_dense + t_sap_cold
-                   + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
     svg_speedup = e2e_dense / e2e_svg
-    sap_speedup = e2e_dense / e2e_sap
-    print(f"[bench_wan14b] svg1 e2e {svg_speedup:.3f}x, sap e2e {sap_speedup:.3f}x "
-          f"(density {args.density})", file=sys.stderr, flush=True)
-    print(json.dumps({
+    out = {
         "metric": "wan14b_720p_svg1_e2e_speedup",
         "value": round(svg_speedup, 3), "unit": "x",
         "vs_baseline": round(svg_speedup / REF_SVG, 3),
-        "sap_e2e_speedup": round(sap_speedup, 3),
         "dense_step_s": round(2 * t_dense, 3), "svg1_step_s": round(2 * t_svg, 3),
-        "sap_cold_fwd_s": round(t_sap_cold, 3), "sap_warm_fwd_s": round(t_sap_warm, 3),
-        "sap_density": args.density,
-    }))
+    }
+    # partial snapshot before the SAP legs (driver takes the LAST JSON line)
+    print(json.dumps(out), flush=True)
+    if rem() <= 0:
+        print("[bench_wan14b] budget exhausted; skipping sap legs",
+              file=sys.stderr, flush=True)
+        return
+
+    sap_rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
+    t_sap_cold = fit("sap-cold", sap_rt, 1)
+    t_sap_warm = fit("sap-warm", sap_rt, 1, warm_state=True)
+    e2e_sap = 2 * (n_warm_sap * t_dense + t_sap_cold
+                   + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
+    sap_speedup = e2e_dense / e2e_sap
+    print(f"[bench_wan14b] svg1 e2e {svg_speedup:.3f}x, sap e2e {sap_speedup:.3f}x "
+          f"(density {args.density})", file=sys.stderr, flush=True)
+    out.update(sap_e2e_speedup=round(sap_speedup, 3),
+               sap_cold_fwd_s=round(t_sap_cold, 3),
+               sap_warm_fwd_s=round(t_sap_warm, 3),
+               sap_density=args.density)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,9 +27,11 @@ include k-means, dynamic-map selection, permutation and inverse.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -40,6 +42,17 @@ REF_SVG = 1.51  # reference Wan 720p T2V e2e speedup, H100
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=0,
+                    help="soft wall-clock budget in seconds (0 = unlimited); "
+                         "the SAP leg is skipped when exhausted (a dense+svg1 "
+                         "JSON snapshot is always emitted first)")
+    args = ap.parse_args()
+    t_start = time.monotonic()
+
+    def rem():
+        return (args.budget - (time.monotonic() - t_start)) if args.budget else 1e9
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,6 +114,20 @@ def main():
                     iters=2, warmup=1)
     print(f"[bench_wan] svg1 step {t_svg:.2f} s", file=sys.stderr)
 
+    # partial snapshot before the SAP leg: a budget bail-out (or a SAP-leg
+    # crash) still leaves a parseable dense+svg1 line (the driver takes the
+    # LAST JSON line)
+    n_warm_svg = int(np.sum(timesteps > warmup_svg.first_times))
+    svg_speedup = (NUM_STEPS * t_dense) / (n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg)
+    print(json.dumps({
+        "metric": "wan_720p_svg1_e2e_speedup", "value": round(svg_speedup, 3),
+        "unit": "x", "vs_baseline": round(svg_speedup / REF_SVG, 3),
+        "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
+    }), flush=True)
+    if rem() <= 0:
+        print(f"[bench_wan] budget exhausted; skipping sap leg", file=sys.stderr)
+        return
+
     # SAP: measure cold (fresh state, iter_init Lloyd) and warm (carried
     # centroids, iter_step Lloyd) separately — lax.cond on state.initialized.
     # SAP runs cfg=1 (the reference's constraint, wan/attention.py:502; the
@@ -132,15 +159,12 @@ def main():
           file=sys.stderr)
 
     # blends over the reference 50-step schedule
-    n_warm_svg = int(np.sum(timesteps > warmup_svg.first_times))
     n_warm_sap = int(np.sum(timesteps > warmup_sap.first_times))
     e2e_dense = NUM_STEPS * t_dense
-    e2e_svg = n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg
     # SAP steps are 2 x B=1 forwards (cond + uncond); each stream pays one
     # cold (iter_init) forward at its first sparse step
     e2e_sap = (n_warm_sap * t_dense + 2 * t_sap_cold
                + (NUM_STEPS - n_warm_sap - 1) * 2 * t_sap_warm)
-    svg_speedup = e2e_dense / e2e_svg
     sap_speedup = e2e_dense / e2e_sap
 
     print(f"[bench_wan] wan 1.3B 720p (B=2 CFG, S={layout.seq_len}): "

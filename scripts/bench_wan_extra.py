@@ -29,6 +29,7 @@ import dataclasses
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -44,7 +45,15 @@ def main():
     ap.add_argument("--skip_i2v", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + tiny model, runs on CPU (path validation only)")
+    ap.add_argument("--budget", type=float, default=0,
+                    help="soft wall-clock budget in seconds (0 = unlimited); "
+                         "the i2v leg is skipped when exhausted (a 480p JSON "
+                         "snapshot is emitted after leg 1)")
     args = ap.parse_args()
+    t_start = time.monotonic()
+
+    def rem():
+        return (args.budget - (time.monotonic() - t_start)) if args.budget else 1e9
 
     import jax
     import jax.numpy as jnp
@@ -108,6 +117,13 @@ def main():
               file=sys.stderr, flush=True)
         out.update(value=round(e2e, 3), vs_baseline=round(e2e / REF_480P, 3),
                    dense_step_s=round(t_dense, 3), svg1_step_s=round(t_svg, 3))
+        # partial snapshot (driver takes the LAST JSON line)
+        print(json.dumps(out), flush=True)
+
+    if rem() <= 0:
+        print("[bench_extra] budget exhausted; skipping i2v leg",
+              file=sys.stderr, flush=True)
+        return
 
     # ---- leg 2: 14B I2V 720p (depth-composed, int8) ----------------------
     if not args.skip_i2v:

@@ -140,9 +140,10 @@ def _kernel(
     # exp2 domain (use_exp2): fold log2(e) into the scale so the softmax
     # exponentials are raw exp2 — the VPU's native transcendental; jnp.exp
     # lowers to exp2(x * log2e) with an extra full-tile multiply per chunk.
-    # p values are mathematically identical (2^(log2e*x) == e^x); only the
-    # m stat changes units (converted back at return_stats below). Same
-    # trick as _runs_expand_kernel (369 vs 376 ms measured there).
+    # p values are identical up to rounding (the scale*LOG2E fold and the
+    # exp2-vs-exp lowering each round once); only the m stat changes units
+    # (converted back at return_stats below). Same trick as
+    # _runs_expand_kernel (369 vs 376 ms measured there).
     eff_scale = scale * LOG2E if use_exp2 else scale
     expf = jnp.exp2 if use_exp2 else jnp.exp
     q_s = (q_ref[0].astype(jnp.float32) * eff_scale).astype(q_ref.dtype)
@@ -829,8 +830,8 @@ def _runs_expand_kernel(
     # exp2 domain: fold log2(e) into the q scale so the softmax exponentials
     # are raw exp2 (the VPU's native transcendental; jnp.exp lowers to
     # exp2(x * log2e) with an extra full-tile multiply). p values are
-    # bit-identical (2^(log2e * x) == e^x); only the m stat changes units.
-    LOG2E = 1.4426950408889634
+    # identical up to rounding (the scale*LOG2E fold and the exp2-vs-exp
+    # lowering each round once); only the m stat changes units.
     eff_scale = scale * LOG2E if use_exp2 else scale
     expf = jnp.exp2 if use_exp2 else jnp.exp
     q_s = (q_ref[0].astype(jnp.float32) * eff_scale).astype(q_ref.dtype)
