@@ -48,8 +48,9 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 # as provenance for the instant first emission; each successfully measured
 # leg overwrites its fields with provenance "measured".
 CACHED = {
-    "date": "2026-08-17",
-    "hyvideo": {"value": 1.973, "dense_step_s": 83.65, "svg1_step_s": 37.81},
+    "date": "2026-08-18",
+    "hyvideo": {"value": 1.975, "dense_step_s": 83.788, "svg1_step_s": 37.819,
+                "sap_e2e_speedup": 1.231},
     "wan": {"value": 1.753, "sap_e2e_speedup": 1.032},
     "wan14b": {"value": 1.725, "sap_e2e_speedup": 1.056},
 }
@@ -102,12 +103,14 @@ def run_leg(script, budget_s, args=()):
                            timeout=budget_s + 150, env=env)
         stdout, stderr = p.stdout, p.stderr
     except subprocess.TimeoutExpired as e:
-        stdout = e.stdout or ""
-        stderr = (e.stderr or "") + f"\n[bench] {script} hard-killed after grace\n"
+        # TimeoutExpired carries bytes even under text=True
+        stdout = e.stdout or b""
+        stderr = e.stderr or b""
         if isinstance(stdout, bytes):
             stdout = stdout.decode(errors="replace")
         if isinstance(stderr, bytes):
             stderr = stderr.decode(errors="replace")
+        stderr += f"\n[bench] {script} hard-killed after grace\n"
     except Exception as e:
         sys.stderr.write(f"[bench] {script} failed to launch: {e}\n")
         return {}

@@ -11,9 +11,12 @@ t(L) = a + L*b. One unit = 4 layers; full model = 10 units (40 layers).
 Per pattern: everything runs B=1 with cond/uncond as two forwards per step
 (14B activations at B=2 with SVG1's placement copies exceed 16 GB HBM — a
 real single-chip constraint; every pattern pays the same x2 so ratios are
-unaffected). SAP additionally uses force_density=0.25 (random weights
-degenerate the top-p map to ~90%; the reference's density telemetry on real
-video is 10-30%); cold (iter_init=50) charged once per stream.
+unaffected). SAP density is ORGANIC by default (--organic): self-attn K:=Q
++ smooth latents (utils/organic.py) make the top-p dynamic map emerge from
+data statistics, and the measured mean density is reported
+(sap_density_source: "organic"); --pinned restores the legacy
+force_density=0.25 override. Cold k-means (iter_init=50) charged once per
+stream.
 
 At H=40 heads the SAP glue (k-means, permutation, metadata) amortizes far
 better than at the 1.3B's 12 heads — this is the geometry where round-2
@@ -43,7 +46,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--units", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--density", type=float, default=0.25)
+    ap.add_argument("--density", type=float, default=0.25,
+                    help="force_density for the pinned SAP leg (ignored with --organic)")
+    ap.add_argument("--organic", action="store_true", default=True,
+                    help="SAP density emerges from data: self-attn K:=Q "
+                         "(PSD similarity logits) + smooth latents "
+                         "(utils/organic.py); force_density disabled and the "
+                         "measured mean density is reported")
+    ap.add_argument("--pinned", dest="organic", action="store_false",
+                    help="legacy force_density SAP leg instead of --organic")
+    ap.add_argument("--organic_gain", type=float, default=1.0)
+    ap.add_argument("--smooth", type=int, nargs=3, default=[3, 6, 6],
+                    help="latent correlation lengths (F, H, W) for --organic")
     ap.add_argument("--budget", type=float, default=0,
                     help="soft wall-clock budget in seconds (0 = unlimited); "
                          "the SAP legs are skipped when exhausted (a "
@@ -81,10 +95,17 @@ def main():
     plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm_svg)
     sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        force_density=args.density)
+                        force_density=None if args.organic else args.density)
 
     unit_cfg = dataclasses.replace(base, num_layers=UNIT)
     params_unit = WM.init_wan_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16)
+    if args.organic:
+        # K := Q per self-attn (PSD similarity logits) so the top-p dynamic
+        # map emerges from data statistics instead of force_density; same
+        # shapes/FLOPs, density becomes a *measured* output (utils/organic.py)
+        from sparse_videogen_tpu.utils.organic import align_self_attn_qk, smooth_latents
+
+        params_unit = align_self_attn_qk(params_unit, gain=args.organic_gain)
     params_unit["blocks"] = quantize_linears_int8(params_unit["blocks"])
 
     def tiled(u):
@@ -93,9 +114,14 @@ def main():
             lambda x: jnp.tile(x, (u,) + (1,) * (x.ndim - 1)), params_unit["blocks"])
         return out
 
-    x2 = jax.random.normal(jax.random.PRNGKey(1), (2, base.in_dim, F, H, W), jnp.bfloat16)
+    if args.organic:
+        x2 = smooth_latents(jax.random.PRNGKey(1), (2, base.in_dim, F, H, W),
+                            tuple(args.smooth), jnp.bfloat16)
+    else:
+        x2 = jax.random.normal(jax.random.PRNGKey(1), (2, base.in_dim, F, H, W), jnp.bfloat16)
     ctx2 = jax.random.normal(jax.random.PRNGKey(2), (2, base.text_len, base.text_dim), jnp.bfloat16)
     t_sparse = 500.0
+    measured_density = []  # per-(layer, head) mean from warm SAP states
 
     def step_time(runtime, B, u, warm_state=False):
         cfg_r = dataclasses.replace(base, num_layers=UNIT * u)
@@ -116,6 +142,9 @@ def main():
             out = fwd(params_r, x, t_sparse, ctx, s0, consts)
             jax.block_until_ready(out)
             s0 = out[1]
+            if hasattr(s0, "last_density"):
+                d = np.asarray(s0.last_density, np.float64)
+                measured_density.append(float(d.mean()))
         return measure_fenced(lambda: fwd(params_r, x, t_sparse, ctx, s0, consts),
                               iters=args.iters, warmup=1)
 
@@ -161,12 +190,18 @@ def main():
     e2e_sap = 2 * (n_warm_sap * t_dense + t_sap_cold
                    + (NUM_STEPS - n_warm_sap - 1) * t_sap_warm)
     sap_speedup = e2e_dense / e2e_sap
+    if args.organic:
+        density = float(np.mean(measured_density)) if measured_density else None
+        density_source = "organic"
+    else:
+        density, density_source = args.density, "forced"
     print(f"[bench_wan14b] svg1 e2e {svg_speedup:.3f}x, sap e2e {sap_speedup:.3f}x "
-          f"(density {args.density})", file=sys.stderr, flush=True)
+          f"(density {density} [{density_source}])", file=sys.stderr, flush=True)
     out.update(sap_e2e_speedup=round(sap_speedup, 3),
                sap_cold_fwd_s=round(t_sap_cold, 3),
                sap_warm_fwd_s=round(t_sap_warm, 3),
-               sap_density=args.density)
+               sap_density=round(density, 4) if density is not None else None,
+               sap_density_source=density_source)
     print(json.dumps(out))
 
 

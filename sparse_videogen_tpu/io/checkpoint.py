@@ -510,6 +510,24 @@ def convert_llama(sd: dict, cfg, *, skip_layers: int = 2, dtype=jnp.bfloat16):
     }
 
 
+def convert_qwen_lm(sd: dict, cfg, dtype=jnp.bfloat16):
+    """HF Qwen2ForCausalLM / LlamaForCausalLM state dict -> full-depth
+    causal-LM pytree for models/common/llama.py llama_lm_logits (the
+    transformers-free local prompt-extension backend,
+    utils/prompt_extend.JaxQwenPromptExpander; reference backend:
+    wan_orig/utils/prompt_extend.py:289-440).
+
+    Same block mapping as convert_llama (Qwen2 differs only in q/k/v biases,
+    which _lin picks up automatically) plus the final norm and the LM head
+    (omitted when weight-tied to the embedding)."""
+    out = convert_llama(sd, cfg, skip_layers=0, dtype=dtype)
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    out["final_norm"] = jnp.asarray(sd[f"{pre}norm.weight"], jnp.float32)
+    if "lm_head.weight" in sd:
+        out["lm_head"] = jnp.asarray(sd["lm_head.weight"].T, dtype)
+    return out
+
+
 def convert_clip_text(sd: dict, cfg, dtype=jnp.float32):
     """HF CLIPTextModel state dict -> models/common/clip.py pytree."""
     pre = "text_model." if any(k.startswith("text_model.") for k in sd) else ""

@@ -153,6 +153,15 @@ class HFTokenizerLite:
         self = cls(tok, 0 if pad_id is None else pad_id)
         return self
 
+    def encode(self, text: str):
+        """Unpadded ids (the causal-LM path, utils/prompt_extend.py)."""
+        self.tok.no_truncation()
+        self.tok.no_padding()
+        return list(self.tok.encode(text).ids)
+
+    def decode(self, ids) -> str:
+        return self.tok.decode(list(map(int, ids)))
+
     def __call__(self, texts, seq_len: int):
         if isinstance(texts, str):
             texts = [texts]

@@ -115,6 +115,36 @@ def llama_encode(params, cfg: LlamaConfig, ids, mask, *, inputs_embeds=None):
     return x
 
 
+def llama_lm_logits(params, cfg: LlamaConfig, ids, mask):
+    """Next-token logits (B, L, vocab) for the causal-LM use of this stack
+    (prompt extension, utils/prompt_extend.py). Needs the full-depth params
+    with `final_norm` (convert_qwen_lm / init_llama_lm_params); the LM head
+    is `lm_head` when present, else tied to the embedding."""
+    x = llama_encode(params, cfg, ids, mask)
+    x = rms_norm(x, params["final_norm"], cfg.eps)
+    head = params.get("lm_head", params["embed"].T)
+    return jnp.einsum("bld,dv->blv", x.astype(jnp.float32), head.astype(jnp.float32))
+
+
+def llama_greedy_generate(params, cfg: LlamaConfig, ids, *, max_new_tokens: int, eos_id: int):
+    """Greedy decode: (L,) prompt ids -> generated ids (python list).
+
+    Offline/structure-test scale: re-encodes the prefix per step (no KV
+    cache) — the prompt-extension workload is one short completion per
+    video, not a serving path."""
+    ids = list(np.asarray(ids).tolist())
+    out = []
+    for _ in range(max_new_tokens):
+        arr = jnp.asarray([ids + out], jnp.int32)
+        mask = jnp.ones_like(arr)
+        logits = llama_lm_logits(params, cfg, arr, mask)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        if nxt == eos_id:
+            break
+        out.append(nxt)
+    return out
+
+
 def init_llama_params(rng, cfg: LlamaConfig, *, n_layers: int | None = None, dtype=jnp.bfloat16):
     n = cfg.num_layers if n_layers is None else n_layers
     keys = iter(L.split_keys(rng, 2 + n))

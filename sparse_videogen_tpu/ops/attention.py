@@ -715,6 +715,7 @@ def _runs_expand_kernel(
     jcap: int,
     qsplit: int = 1,
     unroll: int = 1,
+    pair: int = 1,
     return_stats: bool = False,
     use_exp2: bool = False,
 ):
@@ -805,7 +806,8 @@ def _runs_expand_kernel(
         # cheap chunks live at [0, n_cheap); edge chunks at [jcap-1, ...) desc
         return jnp.where(c < n_cheap, c, jcap - 1 - (c - n_cheap))
 
-    NS = unroll * nbuf  # chunk DMA slots
+    G = max(unroll, pair)  # chunks consumed per fori iteration
+    NS = G * nbuf  # chunk DMA slots
 
     def kv_copy(slot, c):
         ce = jnp.maximum(jnp.minimum(c, n - 1), 0)
@@ -816,12 +818,12 @@ def _runs_expand_kernel(
             kv_sems.at[slot],
         )
 
-    # tail chunks (c >= n, only with unroll > 1) re-DMA a clamped real chunk
+    # tail chunks (c >= n, only with G > 1) re-DMA a clamped real chunk
     # with an empty window, so buffers hold real data and start/wait pairs
     # stay symmetric (mirrors the chunked kernel's n_up scheme)
-    n_up = ((n + unroll - 1) // unroll) * unroll if unroll > 1 else n
+    n_up = ((n + G - 1) // G) * G if G > 1 else n
 
-    for w in range(unroll * (nbuf - 1)):
+    for w in range(G * (nbuf - 1)):
 
         @pl.when(w < n_up)
         def _():
@@ -894,7 +896,7 @@ def _runs_expand_kernel(
             )
         return out
 
-    if unroll == 1:
+    if G == 1:
 
         def body_full(j, carry):
             @pl.when(j + nbuf - 1 < n)
@@ -919,6 +921,80 @@ def _runs_expand_kernel(
         )
         m = jnp.concatenate([states[3 * t + 1] for t in range(qsplit)], axis=0)
         l = jnp.concatenate([states[3 * t + 2] for t in range(qsplit)], axis=0)
+    elif pair > 1:
+        # `pair` chunks per fori iteration, ONE combined online-softmax
+        # update: the serial loop-carried VPU chain (m_new -> alpha -> acc
+        # rescale) runs once per `pair` chunks instead of once per chunk,
+        # and the pair's matmuls/exp2s are mutually independent inside the
+        # iteration, so the scheduler can interleave MXU and VPU work.
+        # Unlike `unroll` (independent state streams + end merge, measured
+        # regression), this is a single exact flash-attention state; the
+        # per-chunk [lo, hi) windows keep run-edge waste at block_kv
+        # granularity (vs doubling block_kv, which regressed on edge waste).
+        assert qsplit == 1, "pair > 1 composes with qsplit == 1 only"
+
+        def body_cpair(j, carry, windowed):
+            base = j * pair
+            for u in range(pair):
+                c_pre = base + pair * (nbuf - 1) + u
+
+                @pl.when(c_pre < n_up)
+                def _():
+                    kv_copy(c_pre % NS, c_pre).start()
+
+            acc, m, l = carry
+            ss, vbs = [], []
+            for u in range(pair):
+                c = base + u
+                pos = entry_pos(jnp.minimum(c, n - 1))
+                win = jnp.where(c < n, tbl[1, pos], 0)
+                lo = win // ENTRY_SCALE
+                hi = win % ENTRY_SCALE
+                kv_copy(c % NS, c).wait()
+                k_blk = kvbuf[c % NS][:, :D]
+                vbs.append(kvbuf[c % NS][:, D:])
+                s = jax.lax.dot_general(
+                    q_s, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if windowed:
+                    colv = jax.lax.broadcasted_iota(jnp.int32, (8, block_kv), 1)
+                    bias = jnp.where((colv >= lo) & (colv < hi), 0.0, NEG_INF)
+                    s = s + bias[:1]
+                ss.append(s)
+            m_cur = jnp.max(ss[0], axis=1, keepdims=True)
+            for s in ss[1:]:
+                m_cur = jnp.maximum(m_cur, jnp.max(s, axis=1, keepdims=True))
+            m_new = jnp.maximum(m, m_cur)
+            alpha = expf(m - m_new)
+            m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
+            ps = [expf(s - m_safe) for s in ss]
+            lsum = jnp.sum(ps[0], axis=1, keepdims=True)
+            for p in ps[1:]:
+                lsum = lsum + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                ps[0].astype(vbs[0].dtype), vbs[0],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            for p, vb in zip(ps[1:], vbs[1:]):
+                pv = pv + jax.lax.dot_general(
+                    p.astype(vb.dtype), vb,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                )
+            return (acc * alpha + pv, m_new, l * alpha + lsum)
+
+        # full-window pairs bias-free; the remainder (incl. a possible odd
+        # full chunk and the clamped empty-window tails) runs windowed —
+        # full chunks decode to lo == 0, hi == block_kv -> zero bias, so the
+        # windowed path is correct for them, just not predicate-free
+        ncp = n_cheap // pair
+        npairs = n_up // pair
+        states = jax.lax.fori_loop(
+            0, ncp, functools.partial(body_cpair, windowed=False), init_states())
+        states = jax.lax.fori_loop(
+            ncp, npairs, functools.partial(body_cpair, windowed=True), states)
+        acc, m, l = states
+        o = acc / jnp.maximum(l, 1e-20)
     else:
         # `unroll` independent (acc, m, l) streams over interleaved chunks:
         # stream B's matmul is independent of stream A's softmax carry, so
@@ -975,7 +1051,7 @@ def _runs_expand_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "unroll", "interpret", "return_stats", "expand", "use_exp2"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "unroll", "pair", "interpret", "return_stats", "expand", "use_exp2"),
 )
 def block_sparse_attention_runs(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -990,6 +1066,7 @@ def block_sparse_attention_runs(
     nbuf: int = 3,
     qsplit: int = 1,
     unroll: int = 1,
+    pair: int = 1,
     interpret: bool | None = None,
     return_stats: bool = False,
     expand: bool = True,
@@ -1030,9 +1107,10 @@ def block_sparse_attention_runs(
     # clusters); other specs fall back to the in-loop run walk.
     expand = expand and (isinstance(mask_spec, MaskSpec) and mask_spec.kind == "none")
     assert unroll == 1 or (expand and qsplit == 1), (unroll, qsplit, expand)
+    assert pair == 1 or (expand and qsplit == 1 and unroll == 1), (pair, qsplit, unroll, expand)
     cap_runs = (meta.shape[-1] - 1) // 2
     jcap = cap_runs + Skv // block_kv + 2
-    slots = (unroll if expand else 1) * nbuf
+    slots = (max(unroll, pair) if expand else 1) * nbuf
     if expand:
         kernel = functools.partial(
             _runs_expand_kernel,
@@ -1046,6 +1124,7 @@ def block_sparse_attention_runs(
             jcap=jcap,
             qsplit=qsplit,
             unroll=unroll,
+            pair=pair,
             return_stats=return_stats,
             use_exp2=use_exp2,
         )

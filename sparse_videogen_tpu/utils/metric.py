@@ -1,8 +1,9 @@
-"""Video quality metrics: per-frame MSE / PSNR / SSIM (+ JSONL output).
+"""Video quality metrics: per-frame MSE / PSNR / SSIM / perceptual (+ JSONL).
 
-Port of the reference metric CLI (svg/utils/metric.py:58-221). LPIPS needs a
-pretrained net (lpips package, not vendored here); the CLI reports it only
-when the package is importable.
+Port of the reference metric CLI (svg/utils/metric.py:58-221). True LPIPS
+needs a pretrained net (lpips package) and is reported when importable; the
+always-available perceptual column is `lpips_rf`, the self-contained
+LPIPS-structured random-feature distance (utils/perceptual.py).
 """
 
 from __future__ import annotations
@@ -119,7 +120,11 @@ def main(argv=None):
     b = load_video(args.video_b)
     t = min(a.shape[0], b.shape[0])
     frames, mean = video_metrics(a[:t], b[:t])
-    try:  # optional LPIPS, as in the reference
+    if a.shape[-1] == 3:
+        from sparse_videogen_tpu.utils.perceptual import lpips_rf
+
+        mean["lpips_rf"] = lpips_rf(a[:t], b[:t])
+    try:  # optional true LPIPS, as in the reference
         import lpips  # noqa: F401
         import torch
 

@@ -158,6 +158,62 @@ class DashScopePromptExpander(PromptExpander):
     extend_with_img = extend  # image content handled by the VL model server-side
 
 
+class JaxQwenPromptExpander(PromptExpander):
+    """Transformers-free local Qwen2/LLaMA-family backend: this framework's
+    own decoder stack (models/common/llama.py) + greedy decoding.
+
+    `model_dir` holds a converted pytree checkpoint (io/checkpoint.py
+    convert_qwen_lm -> save_pytree), a tokenizer.json (HFTokenizerLite), and
+    a config.json with {dim, ffn_dim, num_layers, num_heads, num_kv_heads,
+    vocab_size, rope_theta, eos_token_id}. Structure-tested on a synthetic
+    tiny checkpoint (tests/test_utils.py) the same way the VAEs are —
+    the reference's local-Qwen backend
+    (wan_orig/utils/prompt_extend.py:289-440) without the transformers
+    dependency."""
+
+    # Qwen2 chat template (chat_ml), inlined — matches the tokenizer's
+    # apply_chat_template output for a system+user exchange
+    _TMPL = ("<|im_start|>system\n{system}<|im_end|>\n"
+             "<|im_start|>user\n{user}<|im_end|>\n"
+             "<|im_start|>assistant\n")
+
+    def __init__(self, model_dir, is_vl=False, max_new_tokens=256, **kwargs):
+        super().__init__(model_name=str(model_dir), is_vl=is_vl, **kwargs)
+        import json
+        import os
+
+        from sparse_videogen_tpu.io.checkpoint import load_pytree
+        from sparse_videogen_tpu.io.tokenizer import HFTokenizerLite
+        from sparse_videogen_tpu.models.common.llama import LlamaConfig
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            c = json.load(f)
+        self.cfg = LlamaConfig(
+            vocab_size=c["vocab_size"], dim=c["dim"], ffn_dim=c["ffn_dim"],
+            num_layers=c["num_layers"], num_heads=c["num_heads"],
+            num_kv_heads=c["num_kv_heads"], rope_theta=c.get("rope_theta", 1e6),
+        )
+        self.eos_id = c.get("eos_token_id", 0)
+        self.params = load_pytree(os.path.join(model_dir, "params.safetensors"))
+        self.tokenizer = HFTokenizerLite.from_dir(model_dir)
+        self.max_new_tokens = max_new_tokens
+
+    def extend(self, prompt, system_prompt, seed=-1, **kwargs) -> PromptOutput:
+        from sparse_videogen_tpu.models.common.llama import llama_greedy_generate
+
+        try:
+            text = self._TMPL.format(system=system_prompt, user=prompt)
+            ids = self.tokenizer.encode(text)
+            gen = llama_greedy_generate(
+                self.params, self.cfg, ids,
+                max_new_tokens=self.max_new_tokens, eos_id=self.eos_id,
+            )
+            out = self.tokenizer.decode(gen)
+            return PromptOutput(True, out.strip(), seed, system_prompt, "")
+        except Exception as e:
+            return PromptOutput(False, prompt, seed, system_prompt, str(e))
+
+
 class QwenPromptExpander(PromptExpander):
     """Local Qwen2.5 via transformers (reference prompt_extend.py:289-440);
     needs the model weights on disk."""

@@ -75,6 +75,10 @@ def test_runs_kernel_oracle(seed, bkv):
         dict(expand=True, unroll=2),
         dict(expand=True, unroll=2, nbuf=2),
         dict(expand=True, qsplit=2),
+        dict(expand=True, pair=2),
+        dict(expand=True, pair=2, nbuf=2),
+        dict(expand=True, pair=3),
+        dict(expand=True, pair=2, use_exp2=False),
     ],
 )
 def test_runs_kernel_variants_agree(kw):

@@ -315,3 +315,94 @@ def test_cli_model_id_parity(tmp_path):
         cli = __import__(f"sparse_videogen_tpu.cli.{mod}", fromlist=["build_parser"])
         args = cli.build_parser().parse_args(flags)
         assert args.model_id == flags[1]
+
+
+def test_lpips_rf_perceptual_properties():
+    """The self-contained perceptual metric (LPIPS stand-in): zero on
+    identity, monotone in perturbation size, and distinguishes equal-MSE
+    blur (perceptually close) from i.i.d. noise (perceptually far)."""
+    from scipy.ndimage import gaussian_filter
+
+    from sparse_videogen_tpu.utils.perceptual import lpips_rf
+
+    rng = np.random.default_rng(0)
+    base = gaussian_filter(rng.random((2, 64, 64, 3)), sigma=(0, 2, 2, 0))
+    base = (base - base.min()) / (base.max() - base.min())
+
+    assert lpips_rf(base, base) == 0.0
+    d_small = lpips_rf(base, np.clip(base + 0.02 * rng.standard_normal(base.shape), 0, 1))
+    d_big = lpips_rf(base, np.clip(base + 0.2 * rng.standard_normal(base.shape), 0, 1))
+    assert 0 < d_small < d_big
+
+    blurred = gaussian_filter(base, sigma=(0, 1.2, 1.2, 0))
+    mse_blur = float(np.mean((blurred - base) ** 2))
+    noise = np.clip(base + np.sqrt(mse_blur) * rng.standard_normal(base.shape), 0, 1)
+    d_blur = lpips_rf(base, blurred)
+    d_noise = lpips_rf(base, noise)
+    assert d_blur < d_noise, (d_blur, d_noise, mse_blur)
+
+
+def test_jax_qwen_prompt_expander_structure(tmp_path):
+    """The transformers-free local prompt-extension backend end-to-end on a
+    synthetic tiny checkpoint (the VAE structure-test pattern): convert an
+    HF-layout Qwen2 state dict, save/load the pytree, tokenize with the
+    chat template, greedy-decode, and return a successful PromptOutput."""
+    import json
+
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from sparse_videogen_tpu.io.checkpoint import convert_qwen_lm, save_pytree
+    from sparse_videogen_tpu.models.common.llama import LlamaConfig
+    from sparse_videogen_tpu.utils.prompt_extend import JaxQwenPromptExpander
+
+    d = str(tmp_path / "qwen_tiny")
+    os.makedirs(d)
+    words = ["a", "cat", "rides", "bicycle", "the", "sunny", "street",
+             "<|im_start|>", "<|im_end|>", "system", "user", "assistant"]
+    vocab = {"<pad>": 0, "<unk>": 1, "<eos>": 2}
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(os.path.join(d, "tokenizer.json"))
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"pad_token": "<pad>", "eos_token": "<eos>"}, f)
+
+    cfg = LlamaConfig(vocab_size=len(vocab), dim=32, ffn_dim=64, num_layers=2,
+                      num_heads=2, num_kv_heads=1, rope_theta=1e4)
+    gen = torch.Generator().manual_seed(0)
+    sd = {"model.embed_tokens.weight": torch.randn(cfg.vocab_size, cfg.dim, generator=gen) * 0.2,
+          "model.norm.weight": torch.ones(cfg.dim),
+          "lm_head.weight": torch.randn(cfg.vocab_size, cfg.dim, generator=gen) * 0.2}
+    for i in range(cfg.num_layers):
+        b = f"model.layers.{i}"
+        hd, kv = cfg.head_dim, cfg.num_kv_heads
+        sd[f"{b}.input_layernorm.weight"] = torch.ones(cfg.dim)
+        sd[f"{b}.post_attention_layernorm.weight"] = torch.ones(cfg.dim)
+        sd[f"{b}.self_attn.q_proj.weight"] = torch.randn(cfg.dim, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.self_attn.q_proj.bias"] = torch.zeros(cfg.dim)  # Qwen2 qkv biases
+        sd[f"{b}.self_attn.k_proj.weight"] = torch.randn(kv * hd, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.self_attn.k_proj.bias"] = torch.zeros(kv * hd)
+        sd[f"{b}.self_attn.v_proj.weight"] = torch.randn(kv * hd, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.self_attn.v_proj.bias"] = torch.zeros(kv * hd)
+        sd[f"{b}.self_attn.o_proj.weight"] = torch.randn(cfg.dim, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.mlp.gate_proj.weight"] = torch.randn(cfg.ffn_dim, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.mlp.up_proj.weight"] = torch.randn(cfg.ffn_dim, cfg.dim, generator=gen) * 0.1
+        sd[f"{b}.mlp.down_proj.weight"] = torch.randn(cfg.dim, cfg.ffn_dim, generator=gen) * 0.1
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params = convert_qwen_lm(sd, cfg, dtype=jnp.float32)
+    save_pytree(os.path.join(d, "params.safetensors"), params)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"vocab_size": cfg.vocab_size, "dim": cfg.dim, "ffn_dim": cfg.ffn_dim,
+                   "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+                   "num_kv_heads": cfg.num_kv_heads, "rope_theta": cfg.rope_theta,
+                   "eos_token_id": 2}, f)
+
+    exp = JaxQwenPromptExpander(d, max_new_tokens=8)
+    out = exp("a cat rides the bicycle", tar_lang="en")
+    assert out.status, out.message
+    assert isinstance(out.prompt, str)
+    # deterministic greedy decode: same input -> same output
+    out2 = exp("a cat rides the bicycle", tar_lang="en")
+    assert out2.prompt == out.prompt
