@@ -76,10 +76,8 @@ print(f"density={fd} qp={qp.shape} kv={kv.shape} meta={meta.shape}", flush=True)
 ref = None
 configs = [
     dict(expand=True, use_exp2=True),
-    dict(expand=True, use_exp2=True, pair=2),
-    dict(expand=True, use_exp2=True, pair=2, nbuf=2),
-    dict(expand=True, use_exp2=True, pair=3, nbuf=2),
-    dict(expand=True, use_exp2=True, pair=4, nbuf=2),
+    dict(expand=True, use_exp2=True, mxu_lsum=True),
+    dict(expand=True, use_exp2=True, mxu_lsum=True, nbuf=4),
 ]
 for kw in configs:
     kern = jax.jit(lambda qp, kv, meta, kw=kw: block_sparse_attention_runs(

@@ -79,6 +79,7 @@ def _kernel(
     return_stats: bool = False,
     fast_mask: bool = True,
     use_exp2: bool = False,
+    mxu_lsum: bool = False,
 ):
     if return_stats:
         o_ref, m_ref, l_ref, meta_ref, kvbuf, meta_sem, kv_sems = refs
@@ -287,9 +288,25 @@ def _kernel(
             # (no p-kill pass needed in either branch)
             m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
             p = expf(s - m_safe)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pb = p.astype(v_blk.dtype)
+            if mxu_lsum:
+                # row-sum of p on the MXU (p @ ones, f32 accumulate): removes
+                # the f32 (SQ, block_kv) VPU reduce per chunk — the body's
+                # MXU and VPU work run serially (measured: pair/unroll/qsplit
+                # variants all regress), so VPU volume is wall time. Uses the
+                # SAME bf16 p as the PV matmul, making numerator and
+                # denominator consistent (the f32-sum path rounds p for PV
+                # only).
+                ones = jnp.ones((block_kv, 8), v_blk.dtype)
+                lsum = jax.lax.dot_general(
+                    pb, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[:, :1]
+            else:
+                lsum = jnp.sum(p, axis=1, keepdims=True)
+            l = l * alpha + lsum
             pv = jax.lax.dot_general(
-                p.astype(v_blk.dtype),
+                pb,
                 v_blk,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -398,7 +415,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "qsplit", "interpret", "return_stats", "fast_mask", "use_exp2"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "unroll", "qsplit", "interpret", "return_stats", "fast_mask", "use_exp2", "mxu_lsum"),
 )
 def block_sparse_attention_kv(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -417,6 +434,7 @@ def block_sparse_attention_kv(
     return_stats: bool = False,
     fast_mask: bool = True,
     use_exp2: bool = True,
+    mxu_lsum: bool = False,
 ):
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
     D = D2 // 2
@@ -467,6 +485,7 @@ def block_sparse_attention_kv(
         return_stats=return_stats,
         fast_mask=fast_mask,
         use_exp2=use_exp2,
+        mxu_lsum=mxu_lsum,
     )
 
     out_specs = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
@@ -718,6 +737,7 @@ def _runs_expand_kernel(
     pair: int = 1,
     return_stats: bool = False,
     use_exp2: bool = False,
+    mxu_lsum: bool = False,
 ):
     """Runs-mode metadata, chunked-style execution.
 
@@ -741,11 +761,26 @@ def _runs_expand_kernel(
     restructure — the old kernel was NOT scalar-gated after all). The
     per-unit floor is max(MXU ~207 ms at 148 TFLOPs incl. ~2% q padding,
     KV DMA ~150 ms, VPU softmax ~126 ms); the ~160 ms gap is the VPU chain
-    serializing against MXU across fori iterations. NEGATIVE results:
-    unroll=2 independent streams 403 ms, unroll=2/nbuf=2 405, unroll=3 432
-    (extra VMEM slots + state merge cost more than the overlap pays);
-    qsplit=2 422 (same as the old runs kernel's regression). Both knobs
-    kept for experiments.
+    serializing against MXU across fori iterations — consistent with a
+    fully SERIAL MXU+VPU model (207 + 126 + overhead ~= 369 measured).
+    NEGATIVE results, so the next reader doesn't retry them (all at the
+    H=40 S=75,600 fd=0.25 config, round 3-4):
+      * unroll=2 independent streams 403 ms, unroll=2/nbuf=2 405, unroll=3
+        432 (extra VMEM slots + state merge cost more than the overlap pays)
+      * qsplit=2 422 (sub-tiles too small at bq=256)
+      * pair=2 (N chunks per iteration, ONE combined rescale — halves the
+        loop-carried rescale chain) 405, pair=3 422, pair=4 421: widening
+        the body does not unlock VPU/MXU overlap either; Mosaic schedules
+        the body's ops serially regardless of independence
+      * mxu_lsum=True (row-sum of p as a p @ ones MXU dot instead of the
+        f32 VPU reduce) 467: the third matmul adds serial MXU latency per
+        chunk that exceeds the VPU saving
+      * nbuf=4 no change (the pipeline is not DMA-starved)
+    All knobs kept for experiments. Conclusion: per-chunk VPU volume (exp2 +
+    max + sum over (SQ, block_kv) f32) is wall time added to MXU time; the
+    remaining levers are outside the kernel (fewer selected columns, i.e.
+    density — see utils/organic.py — or a future Mosaic that co-schedules
+    VPU with MXU across fori iterations).
     """
     if return_stats:
         o_ref, m_ref, l_ref, meta_ref, tbl, kvbuf, meta_sem, kv_sems = refs
@@ -876,9 +911,25 @@ def _runs_expand_kernel(
             # m_new == m_cur is finite)
             m_safe = jnp.where(m_new > 0.5 * NEG_INF, m_new, 0.0)
             p = expf(s - m_safe)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pb = p.astype(v_blk.dtype)
+            if mxu_lsum:
+                # row-sum of p on the MXU (p @ ones, f32 accumulate): removes
+                # the f32 (SQ, block_kv) VPU reduce per chunk — the body's
+                # MXU and VPU work run serially (measured: pair/unroll/qsplit
+                # variants all regress), so VPU volume is wall time. Uses the
+                # SAME bf16 p as the PV matmul, making numerator and
+                # denominator consistent (the f32-sum path rounds p for PV
+                # only).
+                ones = jnp.ones((block_kv, 8), v_blk.dtype)
+                lsum = jax.lax.dot_general(
+                    pb, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[:, :1]
+            else:
+                lsum = jnp.sum(p, axis=1, keepdims=True)
+            l = l * alpha + lsum
             pv = jax.lax.dot_general(
-                p.astype(v_blk.dtype),
+                pb,
                 v_blk,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1051,7 +1102,7 @@ def _runs_expand_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "unroll", "pair", "interpret", "return_stats", "expand", "use_exp2"),
+    static_argnames=("block_q", "block_kv", "mask_spec", "scale", "nbuf", "qsplit", "unroll", "pair", "interpret", "return_stats", "expand", "use_exp2", "mxu_lsum"),
 )
 def block_sparse_attention_runs(
     q,  # (BH, Sq, D), Sq % block_q == 0
@@ -1071,6 +1122,7 @@ def block_sparse_attention_runs(
     return_stats: bool = False,
     expand: bool = True,
     use_exp2: bool = True,
+    mxu_lsum: bool = False,
 ):
     """Block-sparse flash attention over run-list metadata (see run_meta_jnp)."""
     BH, Sq, D2 = q.shape[0], q.shape[1], kv.shape[2]
@@ -1127,6 +1179,7 @@ def block_sparse_attention_runs(
             pair=pair,
             return_stats=return_stats,
             use_exp2=use_exp2,
+            mxu_lsum=mxu_lsum,
         )
     else:
         kernel = functools.partial(
