@@ -67,6 +67,13 @@ def main():
                     help="soft wall-clock budget in seconds (0 = unlimited); "
                          "the bench bails out cleanly between measurements "
                          "and composes/emits whatever it has")
+    ap.add_argument("--organic", action="store_true", default=True,
+                    help="SAP density emerges from data: fused-QKV K:=Q + "
+                         "smooth latents (utils/organic.py); force_density "
+                         "disabled, measured density reported")
+    ap.add_argument("--pinned", dest="organic", action="store_false",
+                    help="legacy force_density=0.25 SAP leg")
+    ap.add_argument("--organic_gain", type=float, default=2.0)
     args = ap.parse_args()
     t_start = time.monotonic()
 
@@ -115,8 +122,17 @@ def main():
     # Weight values repeat across layers — irrelevant for throughput; avoids
     # a 12.5 GB bf16 transient on the 16 GB chip.
     unit_cfg = dataclasses.replace(base, mm_double_blocks_depth=2, mm_single_blocks_depth=4)
-    params_unit = quantize_linears_int8(
-        HM.init_hyvideo_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16))
+    params_unit = HM.init_hyvideo_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16)
+    if args.organic:
+        # fused-QKV K:=Q (PSD similarity logits): the SAP top-p dynamic map
+        # emerges from data statistics instead of force_density; identical
+        # shapes/FLOPs (utils/organic.py). Dense/SVG1 timing is
+        # value-independent, so all runtimes share the surgery.
+        from sparse_videogen_tpu.utils.organic import align_fused_qkv
+
+        params_unit = align_fused_qkv(params_unit, hidden=base.hidden_size,
+                                      gain=args.organic_gain)
+    params_unit = quantize_linears_int8(params_unit)
 
     def tiled(params, u):
         tile = lambda t: jax.tree.map(
@@ -128,12 +144,20 @@ def main():
 
     F_lat = 1 + (frames - 1) // 4
     H_lat, W_lat = height // 8, width // 8
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, base.in_channels, F_lat, H_lat, W_lat), jnp.bfloat16)
+    if args.organic:
+        from sparse_videogen_tpu.utils.organic import smooth_latents
+
+        x = smooth_latents(jax.random.PRNGKey(1),
+                           (1, base.in_channels, F_lat, H_lat, W_lat), (3, 6, 6))
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, base.in_channels, F_lat, H_lat, W_lat), jnp.bfloat16)
     text_states = jax.random.normal(jax.random.PRNGKey(2), (1, base.text_len, base.text_states_dim), jnp.bfloat16)
     text_mask = (jnp.arange(base.text_len) < args.prompt_length).astype(jnp.int32)[None]
     text_pooled = jax.random.normal(jax.random.PRNGKey(3), (1, base.text_states_dim_2), jnp.bfloat16)
     guidance = jnp.full((1,), 6000.0, jnp.float32)
     t_sparse = 500.0  # < warm threshold -> sparse path active
+
+    measured_density = []  # mean per-(layer, head) density from warm SAP states
 
     def step_time(runtime, cfg_r, params_r, carry_state=False):
         """Fenced s/step; carry_state=True (SAP) returns (cold, warm) where
@@ -161,6 +185,8 @@ def main():
                                   iters=args.iters, warmup=1)
         _, s1 = fwd(params_r, x, t_sparse, consts, s0)
         jax.block_until_ready(s1.q_centroids)
+        if hasattr(s1, "last_density"):
+            measured_density.append(float(np.mean(np.asarray(s1.last_density, np.float64))))
         t_cold = measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s0)[0],
                                 iters=args.iters, warmup=0)
         t_warm = measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s1)[0],
@@ -179,7 +205,7 @@ def main():
                             top_p_kmeans=0.9, min_kc_ratio=0.10,
                             kmeans_iter_init=50, kmeans_iter_step=2,
                             block_q=args.sap_block_q, max_runs=256,
-                            force_density=0.25)
+                            force_density=None if args.organic else 0.25)
         sap_rt = SAPRuntime(plan, sap_cfg,
                             WarmupSchedule(first_layers=0, first_times=1001.0))
     runtimes = {"dense": DenseRuntime(plan, prompt_length=args.prompt_length),
@@ -223,6 +249,13 @@ def main():
                 out["sap_e2e_speedup"] = round(sap_speedup, 3)
                 out["sap_warm_step_s"] = round(t_sap, 3)
                 out["sap_cold_step_s"] = round(t_sap_cold, 3)
+                if args.organic:
+                    out["sap_density"] = (round(float(np.mean(measured_density)), 4)
+                                          if measured_density else None)
+                    out["sap_density_source"] = "organic"
+                else:
+                    out["sap_density"] = 0.25
+                    out["sap_density_source"] = "forced"
         print(json.dumps(out), flush=True)
 
     times = {"dense": {}, "svg1": {}}

@@ -55,7 +55,12 @@ def main():
                          "measured mean density is reported")
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density SAP leg instead of --organic")
-    ap.add_argument("--organic_gain", type=float, default=1.0)
+    ap.add_argument("--organic_gain", type=float, default=2.0,
+                    help="q-norm gain for --organic; calibrated on TPU "
+                         "(scripts/probe_organic_gain.py: 1.0 -> density "
+                         "0.58, 1.5 -> 0.35, 2.0 -> 0.18 [0.13-0.28 per "
+                         "head], >=3 -> min_kc floor 0.10); 2.0 lands in "
+                         "the reference telemetry band 0.1-0.3")
     ap.add_argument("--smooth", type=int, nargs=3, default=[3, 6, 6],
                     help="latent correlation lengths (F, H, W) for --organic")
     ap.add_argument("--budget", type=float, default=0,

@@ -47,6 +47,14 @@ def main():
                     help="soft wall-clock budget in seconds (0 = unlimited); "
                          "the SAP leg is skipped when exhausted (a dense+svg1 "
                          "JSON snapshot is always emitted first)")
+    ap.add_argument("--organic", action="store_true", default=True,
+                    help="SAP density emerges from data (self-attn K:=Q + "
+                         "smooth latents, utils/organic.py); measured density "
+                         "reported instead of force_density")
+    ap.add_argument("--pinned", dest="organic", action="store_false")
+    ap.add_argument("--organic_gain", type=float, default=2.0,
+                    help="calibrated at 14B (probe_organic_gain.py); the "
+                         "measured density is reported either way")
     args = ap.parse_args()
     t_start = time.monotonic()
 
@@ -75,18 +83,23 @@ def main():
     warmup_svg = WarmupSchedule.from_fractions(SVG_LFP, SVG_TFP, cfg.num_layers, timesteps)
     warmup_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, cfg.num_layers, timesteps)
     plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warmup_svg)
-    # force_density: random weights give flat centroid attention, so top-p
-    # selects ~90% of clusters — not representative (the reference's density
-    # telemetry is 10-30% on real video at this config). Pin the dynamic map
-    # at a conservative 25% so the measured system cost (k-means, permute,
-    # run metadata, kernel, inverse — all real) reflects production density.
+    # Default --organic: self-attn K:=Q + smooth latents (utils/organic.py)
+    # make the top-p dynamic map emerge from data statistics; the measured
+    # density is reported (the reference's telemetry is 10-30% on real
+    # video). --pinned restores the legacy force_density=0.25 override.
     sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        force_density=0.25)
+                        force_density=None if args.organic else 0.25)
 
     params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     B = 2  # CFG pair
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.in_dim, F, H, W), jnp.bfloat16)
+    if args.organic:
+        from sparse_videogen_tpu.utils.organic import align_self_attn_qk, smooth_latents
+
+        params = align_self_attn_qk(params, gain=args.organic_gain)
+        x = smooth_latents(jax.random.PRNGKey(1), (B, cfg.in_dim, F, H, W), (3, 6, 6))
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.in_dim, F, H, W), jnp.bfloat16)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.text_len, cfg.text_dim), jnp.bfloat16)
     t_sparse = 500.0  # below every warm-up threshold -> sparse layers active
 
@@ -151,6 +164,7 @@ def main():
     out = sap_fwd(params, x1, t_sparse, ctx1, sap_s0, sap_consts)
     jax.block_until_ready(out)  # compile + fence before timed runs
     sap_s1 = out[1]
+    sap_density = float(np.mean(np.asarray(sap_s1.last_density, np.float64)))
     t_sap_cold = measure(lambda: sap_fwd(params, x1, t_sparse, ctx1, sap_s0, sap_consts),
                          iters=1, warmup=1)
     t_sap_warm = measure(lambda: sap_fwd(params, x1, t_sparse, ctx1, sap_s1, sap_consts),
@@ -179,7 +193,8 @@ def main():
         "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
         "sap_cold_step_s": round(t_sap_cold, 3),
         "sap_warm_step_s": round(t_sap_warm, 3),
-        "sap_density": 0.25,
+        "sap_density": round(sap_density, 4) if args.organic else 0.25,
+        "sap_density_source": "organic" if args.organic else "forced",
     }))
 
 

@@ -158,6 +158,13 @@ class SAPConfig:
     # instead of the top-p selection (svg2.sap_sparse_attention). Random
     # weights give degenerate (~90%) top-p density; real video sits at
     # 10-30%. None = real top-p selection (production).
+    # KV-cluster relabeling before run-metadata build (layout-only — any
+    # permutation is output-invariant): "popularity" (descending keep count;
+    # optimal for contiguous/forced maps) or "pc1" (size-weighted centroid
+    # PC1 seriation; organic top-p selections are similarity balls, so a
+    # locality-preserving order coalesces each row's runs — see
+    # sparse/svg2.py pc1_relabel)
+    relabel: str = "popularity"
     force_density: float | None = None
 
     @property

@@ -62,6 +62,42 @@ def align_self_attn_qk(params, gain: float = 1.0, key: str = "self_attn"):
     return walk(params)
 
 
+def align_fused_qkv(params, hidden: int, gain: float = 1.0):
+    """HyVideo-style fused-QKV analog of align_self_attn_qk.
+
+    Copies the q-projection columns onto the k columns inside every fused
+    qkv weight — keys "qkv"/"img_qkv"/"txt_qkv" (layout [q|k|v], width
+    3*hidden) and "linear1" (single-stream [q|k|v|mlp]) — and scales the
+    matching "*q_norm" weights by `gain`. Works on stacked (scanned) block
+    trees; must run BEFORE weight quantization.
+    """
+    fused = {"qkv", "img_qkv", "txt_qkv", "linear1"}
+
+    def fix_lin(p):
+        out = dict(p)
+        w = p["w"]
+        out["w"] = w.at[..., hidden : 2 * hidden].set(w[..., :hidden])
+        if "b" in p:
+            b = p["b"]
+            out["b"] = b.at[..., hidden : 2 * hidden].set(b[..., :hidden])
+        return out
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if name in fused and isinstance(child, dict) and "w" in child:
+                out[name] = fix_lin(child)
+            elif name.endswith("q_norm") and gain != 1.0:
+                out[name] = child * gain
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
 def smooth_latents(rng, shape, factors=(3, 6, 6), dtype=jnp.bfloat16):
     """Low-pass latent noise: (B, C, F, H, W) normal field with correlation
     lengths ~ `factors` along (F, H, W), normalized to unit variance.

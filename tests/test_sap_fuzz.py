@@ -80,3 +80,45 @@ def test_sub_aligned_block_kv_guard():
     sizes = jnp.asarray([[5, 5]], jnp.int32)
     with pytest.raises(AssertionError):
         MD.run_meta_jnp(sel, starts, sizes, block_kv=64, cap=2)
+
+
+def test_pc1_relabel_output_invariant():
+    """pc1 (centroid-PC1 seriation) relabeling is a pure layout permutation:
+    the SAP output must match popularity relabeling exactly on a REAL top-p
+    map (clustered data, top_p < 1 so a strict subset is selected)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_videogen_tpu.config import SAPConfig, VideoLayout, WarmupSchedule
+    from sparse_videogen_tpu.core.attention_ref import dense_attention
+    from sparse_videogen_tpu.sparse import svg2
+
+    rng = np.random.default_rng(11)
+    B, H, D = 1, 2, 64
+    layout = VideoLayout(num_frames=4, frame_size=128)
+    S = layout.seq_len
+    centers = rng.standard_normal((6, D)) * 2
+    qk = centers[rng.integers(0, 6, S)] + 0.3 * rng.standard_normal((S, D))
+    q = jnp.asarray(np.broadcast_to(qk, (B, H, S, D)).copy(), jnp.float32)
+    k = jnp.asarray(q)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    warm = WarmupSchedule(first_layers=0, first_times=1001.0)
+
+    outs, densities = {}, {}
+    for rel in ("popularity", "pc1"):
+        cfg = SAPConfig(num_q_centroids=5, num_k_centroids=8, top_p_kmeans=0.8,
+                        min_kc_ratio=0.1, kmeans_iter_init=5, kmeans_iter_step=1,
+                        relabel=rel)
+        st = svg2.init_sap_state(B * H, D, cfg, dtype=jnp.float32)
+        out, st2 = svg2.sap_attention(
+            q, k, v, jnp.asarray(500.0), st, jax.random.PRNGKey(0),
+            layout=layout, cfg=cfg, warmup=warm, layer_idx=0,
+            dense_fn=lambda a, b, c: dense_attention(a, b, c))
+        outs[rel] = np.asarray(out)
+        densities[rel] = float(np.mean(np.asarray(st2.last_density)))
+    assert 0.05 < densities["pc1"] < 0.95  # a real subset was selected
+    assert densities["popularity"] == densities["pc1"]
+    np.testing.assert_allclose(outs["popularity"], outs["pc1"], atol=1e-5)
