@@ -74,6 +74,15 @@ def main():
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density=0.25 SAP leg")
     ap.add_argument("--organic_gain", type=float, default=2.0)
+    ap.add_argument("--kc", type=int, default=250,
+                    help="k-centroids. TPU-adapted default (reference 720p "
+                         "SVG2 uses 1000, tuned for the GPU variable-block "
+                         "kernel's 64-token tiles): organic top-p maps "
+                         "scatter, and coarser clusters coalesce KV runs at "
+                         "the same top-p semantics — see bench_wan14b.py "
+                         "--kc and probe_organic_bkv.py")
+    ap.add_argument("--qc", type=int, default=400)
+    ap.add_argument("--sap_bkv", type=int, default=512)
     args = ap.parse_args()
     t_start = time.monotonic()
 
@@ -201,10 +210,11 @@ def main():
         # weights give flat centroid attention -> degenerate ~90% top-p);
         # every stage (k-means, permutation, run metadata, kernel, inverse)
         # is the real computation.
-        sap_cfg = SAPConfig(num_q_centroids=400, num_k_centroids=1000,
+        sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
                             top_p_kmeans=0.9, min_kc_ratio=0.10,
                             kmeans_iter_init=50, kmeans_iter_step=2,
-                            block_q=args.sap_block_q, max_runs=256,
+                            block_q=args.sap_block_q, block_kv=args.sap_bkv,
+                            max_runs=min(256, args.kc + 2),
                             force_density=None if args.organic else 0.25)
         sap_rt = SAPRuntime(plan, sap_cfg,
                             WarmupSchedule(first_layers=0, first_times=1001.0))

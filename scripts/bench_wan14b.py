@@ -55,6 +55,21 @@ def main():
                          "measured mean density is reported")
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density SAP leg instead of --organic")
+    ap.add_argument("--kc", type=int, default=250,
+                    help="k-centroids. TPU-adapted default 250 (vs the "
+                         "reference's GPU-tuned 1000): organic top-p maps "
+                         "select SCATTERED clusters, and on TPU every run "
+                         "pays a full block_kv chunk — coarser clusters "
+                         "coalesce runs at the SAME top-p semantics (>= "
+                         "selected mass per cluster, higher recall). Sweep "
+                         "(probe_organic_bkv.py, u=1 warm): kc=1000 8.18 s "
+                         "@d=0.183, 500 5.67 @0.207, 250 4.63 @0.236, 125 "
+                         "4.57 @0.271, 50 4.29 @0.326. Use 1000 to measure "
+                         "the reference config.")
+    ap.add_argument("--qc", type=int, default=300)
+    ap.add_argument("--sap_bkv", type=int, default=512,
+                    help="SAP block_kv; 512 is the fragmented-regime "
+                         "optimum (1024 wins only on contiguous/forced maps)")
     ap.add_argument("--organic_gain", type=float, default=2.0,
                     help="q-norm gain for --organic; calibrated on TPU "
                          "(scripts/probe_organic_gain.py: 1.0 -> density "
@@ -98,8 +113,10 @@ def main():
     warm_svg = WarmupSchedule.from_fractions(SVG_LFP, SVG_TFP, base.num_layers, timesteps)
     warm_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, base.num_layers, timesteps)
     plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm_svg)
-    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
-                        min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
+    sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
+                        top_p_kmeans=0.9, min_kc_ratio=0.10,
+                        kmeans_iter_init=50, kmeans_iter_step=2,
+                        block_kv=args.sap_bkv,
                         force_density=None if args.organic else args.density)
 
     unit_cfg = dataclasses.replace(base, num_layers=UNIT)
@@ -206,7 +223,9 @@ def main():
                sap_cold_fwd_s=round(t_sap_cold, 3),
                sap_warm_fwd_s=round(t_sap_warm, 3),
                sap_density=round(density, 4) if density is not None else None,
-               sap_density_source=density_source)
+               sap_density_source=density_source,
+               sap_config={"qc": args.qc, "kc": args.kc,
+                           "block_kv": args.sap_bkv, "top_p": 0.9})
     print(json.dumps(out))
 
 

@@ -88,9 +88,13 @@ def main():
     common = dict(height=H, width=W, num_frames=F,
                   num_inference_steps=args.steps, seed=0)
     svg = SVGConfig(sparsity=0.25, num_sampled_rows=64)
+    # TPU-adapted SAP config (bench_wan14b.py --kc rationale): kc=250 coarser
+    # clusters at the same top_p=0.9 — per-cluster selected mass can only go
+    # up, so recall >= the reference kc=1000 config; this is the config the
+    # benches recommend, so it is the one whose quality gets evidenced
     sap = SAPConfig(num_q_centroids=300 if not args.smoke else 8,
-                    num_k_centroids=1000 if not args.smoke else 12,
-                    top_p_kmeans=0.9, min_kc_ratio=0.10,
+                    num_k_centroids=250 if not args.smoke else 12,
+                    top_p_kmeans=0.9, min_kc_ratio=0.10, block_kv=512,
                     kmeans_iter_init=50 if not args.smoke else 4,
                     kmeans_iter_step=2)
 
