@@ -87,8 +87,12 @@ def main():
     # make the top-p dynamic map emerge from data statistics; the measured
     # density is reported (the reference's telemetry is 10-30% on real
     # video). --pinned restores the legacy force_density=0.25 override.
-    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=1000, top_p_kmeans=0.9,
+    # kc=250/block_kv=512 is the TPU-adapted SAP config (same top_p
+    # semantics, coarser clusters coalesce the scattered organic runs —
+    # rationale and sweep in scripts/bench_wan14b.py --kc).
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=250, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
+                        block_kv=512,
                         force_density=None if args.organic else 0.25)
 
     params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)

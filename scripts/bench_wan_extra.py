@@ -119,6 +119,12 @@ def main():
                    dense_step_s=round(t_dense, 3), svg1_step_s=round(t_svg, 3))
         # partial snapshot (driver takes the LAST JSON line)
         print(json.dumps(out), flush=True)
+        # free the 1.3B params/activations before the 14B leg: keeping them
+        # alive OOMed the i2v dense fit on the 16 GB chip (measured r4)
+        del params, x, ctx, step_t
+        import gc
+
+        gc.collect()
 
     if rem() <= 0:
         print("[bench_extra] budget exhausted; skipping i2v leg",
@@ -127,6 +133,11 @@ def main():
 
     # ---- leg 2: 14B I2V 720p (depth-composed, int8) ----------------------
     if not args.skip_i2v:
+        # 2 layers per unit (vs 4 for T2V): the i2v variant's extra
+        # k_img/v_img weights + image branch pushed u=2 x 4-layer past the
+        # 16 GB chip (RESOURCE_EXHAUSTED, measured r4); same linear-fit
+        # methodology, full model = 20 units
+        UNIT_I = 2 if not args.smoke else UNIT
         base = dataclasses.replace(WM.WAN_14B, model_type="i2v", in_dim=36)
         F, H, W = 21, 90, 160
         if args.smoke:
@@ -138,7 +149,7 @@ def main():
         warm = WarmupSchedule.from_fractions(0.03, 0.35, base.num_layers, steps)
         plan = make_svg1_plan(layout, SVGConfig(sparsity=0.3, num_sampled_rows=64), warm)
 
-        unit_cfg = dataclasses.replace(base, num_layers=UNIT)
+        unit_cfg = dataclasses.replace(base, num_layers=UNIT_I)
         params_unit = WM.init_wan_params(jax.random.PRNGKey(0), unit_cfg, dtype=jnp.bfloat16)
         params_unit["blocks"] = quantize_linears_int8(params_unit["blocks"])
 
@@ -156,7 +167,7 @@ def main():
             consts = runtime.consts()
             ts = []
             for u in args.units:
-                cfg_r = dataclasses.replace(base, num_layers=UNIT * u)
+                cfg_r = dataclasses.replace(base, num_layers=UNIT_I * u)
 
                 @jax.jit
                 def fwd(params, x, t, ctx, fea, states, consts):
@@ -166,13 +177,19 @@ def main():
                         attn_consts=consts, rng=jax.random.PRNGKey(0))
 
                 s0 = runtime.init_state(cfg_r.num_heads, cfg_r.head_dim, cfg_r.num_layers)
-                t_u = measure(lambda: fwd(tiled(u), x, 500.0, ctx, fea, s0, consts),
+                # hoist the tiled params: tiling inside the measure lambda
+                # re-materializes ~GBs per iteration and OOMed u=2 on the
+                # 16 GB chip (two tiled copies alive at once)
+                params_u = tiled(u)
+                t_u = measure(lambda: fwd(params_u, x, 500.0, ctx, fea, s0, consts),
                               iters=args.iters, warmup=1)
+                del params_u
+                jax.clear_caches()  # free the previous unit's executables
                 print(f"[bench_extra] i2v {name} u={u}: {t_u:.2f} s",
                       file=sys.stderr, flush=True)
                 ts.append(t_u)
             b, a = np.polyfit(np.asarray(args.units, np.float64), np.asarray(ts), 1)
-            full = a + (base.num_layers // UNIT) * b
+            full = a + (base.num_layers // UNIT_I) * b
             print(f"[bench_extra] i2v {name}: full-depth {full:.2f} s",
                   file=sys.stderr, flush=True)
             return full
