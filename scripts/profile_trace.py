@@ -77,18 +77,28 @@ def main():
     ca = compiled.cost_analysis() or {}
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
-    flops = float(ca.get("flops", 0.0))
-    bytes_acc = float(ca.get("bytes accessed", 0.0))
-
+    # CAVEAT (measured): XLA cost_analysis counts a lax.scan BODY once, not
+    # x num_layers, and Pallas custom calls report 0 FLOPs — the raw number
+    # (13.3 TFLOP here ~= one transformer layer at B=2) is NOT the step's
+    # work. Keep it as recorded evidence of that semantics and use an
+    # analytic matmul count for the utilization cross-check.
+    flops_xla = float(ca.get("flops", 0.0))
+    bytes_xla = float(ca.get("bytes accessed", 0.0))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    S_tok = layout.seq_len
+    # linear-layer MACs: ~params x tokens; x2 FLOP/MAC; x B (CFG pair);
+    # attention (Pallas) adds ~2 x 2 x S^2 x D x H_eff sparse-masked — use
+    # the dense-equivalent x the SVG1 measured ~3x reduction as a band
+    flops_lin = 2.0 * n_params * S_tok * B
     fn = jax.jit(step)
     t_step = measure_fenced(lambda: fn(params, x, 500.0, ctx, states, consts),
                             iters=args.iters, warmup=1)
-    tflops = flops / t_step / 1e12 if flops else None
-    gbps = bytes_acc / t_step / 1e9 if bytes_acc else None
-    print(f"[profile] fenced step {t_step:.3f} s; XLA cost: {flops/1e12:.1f} TFLOP, "
-          f"{bytes_acc/1e9:.1f} GB -> implied {tflops and round(tflops,1)} TFLOPs, "
-          f"{gbps and round(gbps,1)} GB/s (v5e roofline 197 TFLOPs / 819 GB/s)",
-          file=sys.stderr, flush=True)
+    tflops = flops_lin / t_step / 1e12
+    print(f"[profile] fenced step {t_step:.3f} s; analytic linear FLOPs "
+          f"{flops_lin/1e12:.0f} TFLOP -> implied >= {tflops:.0f} TFLOPs "
+          f"utilization floor (v5e roofline 197); XLA cost_analysis reports "
+          f"{flops_xla/1e12:.1f} TFLOP / {bytes_xla/1e9:.1f} GB (scan body "
+          f"counted once — recorded, not used)", file=sys.stderr, flush=True)
 
     trace_info = None
     if args.trace:
@@ -107,12 +117,12 @@ def main():
     out = {
         "metric": "wan_720p_svg1_step_cross_check",
         "fenced_step_s": round(t_step, 4),
-        "xla_cost_tflop": round(flops / 1e12, 2) if flops else None,
-        "xla_cost_gb": round(bytes_acc / 1e9, 2) if bytes_acc else None,
-        "implied_tflops": round(tflops, 1) if tflops else None,
-        "implied_hbm_gbps": round(gbps, 1) if gbps else None,
+        "analytic_linear_tflop": round(flops_lin / 1e12, 1),
+        "implied_tflops_floor": round(tflops, 1),
+        "xla_cost_tflop_scan_body_once": round(flops_xla / 1e12, 2),
+        "xla_cost_gb_scan_body_once": round(bytes_xla / 1e9, 2),
         "roofline": {"bf16_tflops": 197, "hbm_gbps": 819},
-        "sane": bool(tflops is None or tflops < 210),
+        "sane": bool(0.05 * 197 < tflops < 210),
         "trace": trace_info,
     }
     print(json.dumps(out))
