@@ -49,10 +49,13 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 # leg overwrites its fields with provenance "measured".
 CACHED = {
     "date": "2026-08-18",
-    "hyvideo": {"value": 1.975, "dense_step_s": 83.788, "svg1_step_s": 37.819,
-                "sap_e2e_speedup": 1.231},
-    "wan": {"value": 1.753, "sap_e2e_speedup": 1.032},
-    "wan14b": {"value": 1.725, "sap_e2e_speedup": 1.056},
+    "hyvideo": {"value": 1.976, "dense_step_s": 83.773, "svg1_step_s": 37.796,
+                "sap_e2e_speedup": 1.231},  # sap at force_density 0.25
+    "wan": {"value": 1.77, "sap_e2e_speedup": 0.706,
+            "sap_density": 0.3994, "sap_density_source": "organic"},
+    "wan14b": {"value": 1.744, "sap_e2e_speedup": 0.759,
+               "sap_density": 0.2688, "sap_density_source": "organic"},
+    "wan_extra": {"value": 1.355, "i2v14b_720p_svg1_e2e_speedup": 1.356},
 }
 
 
@@ -134,6 +137,7 @@ def main():
         "hyvideo": dict(CACHED["hyvideo"]),
         "wan": dict(CACHED["wan"]),
         "wan14b": dict(CACHED["wan14b"]),
+        "wan_extra": dict(CACHED["wan_extra"]),
     }
     # 1) instant emission: the round records the last-measured headline even
     #    if everything below times out or the TPU is unreachable.

@@ -52,9 +52,11 @@ def main():
                          "smooth latents, utils/organic.py); measured density "
                          "reported instead of force_density")
     ap.add_argument("--pinned", dest="organic", action="store_false")
-    ap.add_argument("--organic_gain", type=float, default=2.0,
-                    help="calibrated at 14B (probe_organic_gain.py); the "
-                         "measured density is reported either way")
+    ap.add_argument("--organic_gain", type=float, default=3.0,
+                    help="1.3B needs a sharper gain than the 14B's 2.0: at "
+                         "gain 2.0 the measured density was 0.40 (above the "
+                         "telemetry band); the min_kc floor makes high gains "
+                         "safe and the measured density is reported either way")
     args = ap.parse_args()
     t_start = time.monotonic()
 

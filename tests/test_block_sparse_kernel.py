@@ -13,6 +13,11 @@ from sparse_videogen_tpu.ops.attention import (
 )
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 def rand_qkv(rng, BH, Sq, Skv, D, dtype=np.float32):
     q = rng.standard_normal((BH, Sq, D)).astype(dtype)
     k = rng.standard_normal((BH, Skv, D)).astype(dtype)

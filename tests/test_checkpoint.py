@@ -12,6 +12,9 @@ from sparse_videogen_tpu.models.wan import model as WM
 from sparse_videogen_tpu.models.wan import vae as V
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def tree_shapes(t):
     return jax.tree.map(lambda x: tuple(x.shape), t)
 

@@ -14,6 +14,9 @@ import pytest
 from sparse_videogen_tpu.cli import wan_t2v
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def _run(tmp_path, name, extra):
     out = str(tmp_path / name)
     wan_t2v.main([

@@ -69,6 +69,12 @@ import math
 import torch
 import torch.nn.functional as F
 
+import pytest
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _tt(x):
     return torch.tensor(np.asarray(x, np.float32))

@@ -17,6 +17,10 @@ from sparse_videogen_tpu.models.cog import vae as CV
 from tests.test_checkpoint import make_sd_cog, make_sd_cog_vae
 from tests.test_prompt_to_video import _save_st, _write_spiece
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 DIT_CFG = CM.CogConfig(num_layers=2, hidden_size=64, heads_num=4, head_dim=16,
                        text_len=10, text_dim=16, time_embed_dim=48,
                        in_channels=8, out_channels=4, ofs_embed=True)

@@ -14,6 +14,11 @@ import torch.nn.functional as F
 
 from sparse_videogen_tpu.models.cog import vae as CV
 
+import pytest
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 CFG = CV.CogVAEConfig(
     block_out_channels=(8, 16, 16, 16), layers_per_block=1, latent_channels=4,
     norm_num_groups=4,

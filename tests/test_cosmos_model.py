@@ -19,6 +19,10 @@ import jax.numpy as jnp
 
 from sparse_videogen_tpu.models.cosmos import model as CM
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 CFG = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=64, num_layers=2,
                       text_embed_dim=32, adaln_lora_dim=16, max_size=(8, 16, 16),
                       rope_scale=(2.0, 1.0, 1.0))

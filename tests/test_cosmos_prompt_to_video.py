@@ -18,6 +18,11 @@ from tests.test_checkpoint import make_sd_cosmos
 from tests.test_cosmos_vae import _fake_sd
 from tests.test_prompt_to_video import _save_st, _write_spiece
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 DIT_CFG = CM.CosmosConfig(num_attention_heads=2, attention_head_dim=32,
                           num_layers=2, text_embed_dim=16, adaln_lora_dim=8,
                           max_size=(4, 8, 8))

@@ -15,6 +15,11 @@ import numpy as np
 
 from sparse_videogen_tpu.models.cosmos import vae as CV
 
+import pytest
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 TINY = CV.CosmosVAEConfig(base_channels=16, channels_mult=(1, 2, 2),
                           num_res_blocks=1, latent_channels=4)
 

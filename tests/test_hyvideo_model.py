@@ -14,6 +14,10 @@ from sparse_videogen_tpu.models.hyvideo import model as HM
 from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
 from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 CFG = HM.HyVideoConfig(
     hidden_size=64, heads_num=4, mm_double_blocks_depth=2, mm_single_blocks_depth=2,
     rope_dim_list=(4, 6, 6), text_states_dim=32, text_states_dim_2=24, text_len=8,

@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 def _save_st(path, sd):
     from safetensors.numpy import save_file
 

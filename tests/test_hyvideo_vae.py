@@ -13,6 +13,11 @@ import torch.nn.functional as F
 
 from sparse_videogen_tpu.models.hyvideo import vae as HV
 
+import pytest
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 CFG = HV.HyVideoVAEConfig(
     block_out_channels=(8, 16, 16, 16), layers_per_block=1, latent_channels=4,
     norm_num_groups=4, scaling_factor=0.476986,

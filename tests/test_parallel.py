@@ -11,6 +11,10 @@ from sparse_videogen_tpu.parallel import UlyssesRuntime, make_mesh, shard_params
 from sparse_videogen_tpu.sparse.runtimes import SAPRuntime, SVG1Runtime
 from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
 )

@@ -17,6 +17,12 @@ from sparse_videogen_tpu.models.wan.model import WanConfig, init_wan_params
 from sparse_videogen_tpu.pipelines import WanPipeline
 from sparse_videogen_tpu.utils.metric import psnr, video_metrics
 
+import pytest
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = WanConfig(dim=96, ffn_dim=192, num_heads=4, num_layers=3,
                 freq_dim=32, text_dim=48, text_len=8)
 

@@ -20,6 +20,9 @@ from sparse_videogen_tpu.parallel import make_mesh
 from sparse_videogen_tpu.parallel.ring import ring_attention, ring_meta
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def _qkv(rng, B, H, S, D):
     q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)

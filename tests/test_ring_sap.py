@@ -21,6 +21,10 @@ from sparse_videogen_tpu.parallel import make_mesh
 from sparse_videogen_tpu.parallel.ring_sap import sap_ring_attention
 from sparse_videogen_tpu.sparse.svg2 import SAPState, sap_sparse_attention
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 B, H, S, D = 1, 2, 1024, 64
 CFG = SAPConfig(num_q_centroids=6, num_k_centroids=10, top_p_kmeans=0.8,
                 min_kc_ratio=0.0, kmeans_iter_step=2, block_q=128, block_kv=128)

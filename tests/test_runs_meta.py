@@ -17,6 +17,9 @@ from sparse_videogen_tpu.ops import metadata as MD
 from sparse_videogen_tpu.ops.attention import block_sparse_attention_runs, pack_kv
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def _random_clusters(rng, BH, C, S):
     w = rng.random(C)
     w[rng.integers(0, C)] = 0.0  # force an empty cluster

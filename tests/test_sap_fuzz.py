@@ -24,6 +24,10 @@ from sparse_videogen_tpu.config import SAPConfig, VideoLayout
 from sparse_videogen_tpu.core.attention_ref import dense_attention
 from sparse_videogen_tpu.sparse.svg2 import init_sap_state, sap_sparse_attention
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 CASES = [
     # (nf, fs, ctx, prompt_len, qc, kc, block_q)
     (3, 48, 0, 0, 23, 38, 32),     # many clusters, most empty

@@ -20,6 +20,9 @@ from sparse_videogen_tpu.sparse import svg1 as SVG1
 from sparse_videogen_tpu.sparse import svg2 as SVG2
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def make_qkv(rng, B, H, S, D, layout=None):
     base = rng.standard_normal((B, H, S, D)).astype(np.float32)
     if layout is not None:  # make half the heads strongly temporal

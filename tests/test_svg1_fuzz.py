@@ -26,6 +26,11 @@ from sparse_videogen_tpu.core.attention_ref import dense_attention
 from sparse_videogen_tpu.sparse.runtimes import SVG1Runtime
 from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CASES = [
     # (nf, fs, ctx, prompt_len, H)
     (5, 40, 0, 0, 1),

@@ -16,6 +16,9 @@ from sparse_videogen_tpu.models.common import clip as C
 from sparse_videogen_tpu.models.common import llama as LM
 
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def test_llama_skip_layer_parity():
     from transformers import LlamaConfig as HFLlamaConfig
     from transformers import LlamaModel

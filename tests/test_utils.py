@@ -11,7 +11,11 @@ from sparse_videogen_tpu.utils import timer as T
 from sparse_videogen_tpu.utils.dataloader import load_prompts
 from sparse_videogen_tpu.utils.quant import pseudo_quantize_absmax_perhead
 
+import pytest
 
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 def test_psnr_ssim_identity_and_noise():
     rng = np.random.default_rng(0)
     a = rng.random((2, 32, 32, 3)).astype(np.float32)
@@ -406,3 +410,46 @@ def test_jax_qwen_prompt_expander_structure(tmp_path):
     # deterministic greedy decode: same input -> same output
     out2 = exp("a cat rides the bicycle", tar_lang="en")
     assert out2.prompt == out.prompt
+
+
+def test_organic_surgery_and_smooth_latents():
+    """utils/organic: K:=Q surgery on both layouts + smooth latent field."""
+    from sparse_videogen_tpu.utils.organic import (
+        align_fused_qkv, align_self_attn_qk, smooth_latents)
+
+    # wan-style separate q/k dicts (stacked over layers)
+    rng = jax.random.PRNGKey(0)
+    blk = {"self_attn": {"q": {"w": jax.random.normal(rng, (3, 8, 8)), "b": jnp.zeros((3, 8))},
+                         "k": {"w": jnp.ones((3, 8, 8)), "b": jnp.ones((3, 8))},
+                         "norm_q": jnp.ones((8,)), "norm_k": jnp.ones((8,))},
+           "cross_attn": {"q": {"w": jnp.zeros((3, 8, 8))}, "k": {"w": jnp.ones((3, 8, 8))}}}
+    out = align_self_attn_qk({"blocks": blk}, gain=2.0)
+    sa = out["blocks"]["self_attn"]
+    np.testing.assert_array_equal(np.asarray(sa["k"]["w"]), np.asarray(sa["q"]["w"]))
+    np.testing.assert_array_equal(np.asarray(sa["k"]["b"]), np.asarray(sa["q"]["b"]))
+    np.testing.assert_allclose(np.asarray(sa["norm_q"]), 2.0)
+    # cross_attn untouched (only the self_attn key is aligned)
+    assert float(jnp.sum(out["blocks"]["cross_attn"]["k"]["w"])) == 3 * 8 * 8
+
+    # hyvideo-style fused [q|k|v] layouts
+    h = 4
+    fused = {"img_qkv": {"w": jax.random.normal(rng, (2, 6, 3 * h)), "b": jnp.arange(3 * h, dtype=jnp.float32)[None].repeat(2, 0)},
+             "linear1": {"w": jax.random.normal(rng, (2, 6, 3 * h + 5))},
+             "img_q_norm": jnp.ones((2,))}
+    out = align_fused_qkv({"b0": fused}, hidden=h, gain=3.0)["b0"]
+    np.testing.assert_array_equal(np.asarray(out["img_qkv"]["w"][..., h:2 * h]),
+                                  np.asarray(out["img_qkv"]["w"][..., :h]))
+    np.testing.assert_array_equal(np.asarray(out["linear1"]["w"][..., h:2 * h]),
+                                  np.asarray(out["linear1"]["w"][..., :h]))
+    # mlp tail of linear1 untouched
+    np.testing.assert_array_equal(np.asarray(out["linear1"]["w"][..., 3 * h:]),
+                                  np.asarray(fused["linear1"]["w"][..., 3 * h:]))
+    np.testing.assert_allclose(np.asarray(out["img_q_norm"]), 3.0)
+
+    # smooth latents: unit variance, finite, and smoother than iid noise
+    x = np.asarray(smooth_latents(rng, (1, 4, 8, 16, 16), (2, 4, 4), jnp.float32))
+    assert np.isfinite(x).all() and abs(x.std() - 1.0) < 0.05
+    d_smooth = np.mean(np.abs(np.diff(x, axis=-1)))
+    iid = jax.random.normal(rng, x.shape)
+    d_iid = float(jnp.mean(jnp.abs(jnp.diff(iid, axis=-1))))
+    assert d_smooth < 0.5 * d_iid, (d_smooth, d_iid)

@@ -14,6 +14,11 @@ from sparse_videogen_tpu.models.wan import model as WM
 from sparse_videogen_tpu.sparse.runtimes import DenseRuntime, SVG1Runtime
 from sparse_videogen_tpu.sparse.svg1 import make_svg1_plan
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = WM.WanConfig(
     dim=96, ffn_dim=192, num_heads=4, num_layers=2, freq_dim=32, text_dim=48, text_len=16
 )

@@ -17,6 +17,11 @@ import torch.nn.functional as F
 
 from sparse_videogen_tpu.models.wan import vae as V
 
+
+# interpret-mode Pallas at production-ish shapes / full pipeline drives:
+# excluded from the fast CI gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = V.WanVAEConfig(dim=8, z_dim=4, dim_mult=(1, 2, 2), num_res_blocks=1,
                      temporal_downsample=(False, True))
 CACHE_T = 2
