@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--sap_bkv", type=int, default=512,
                     help="SAP block_kv; 512 is the fragmented-regime "
                          "optimum (1024 wins only on contiguous/forced maps)")
+    ap.add_argument("--sap_block_mode", type=str, default="cluster",
+                    choices=["cluster", "tile"],
+                    help="SAP selection granularity: 'cluster' = reference "
+                         "variable-size clusters; 'tile' = fixed block_kv "
+                         "tiles of the k-means order (every selected tile "
+                         "is one DMA chunk — the organic-density TPU mode)")
     ap.add_argument("--organic_gain", type=float, default=2.0,
                     help="q-norm gain for --organic; calibrated on TPU "
                          "(scripts/probe_organic_gain.py: 1.0 -> density "
@@ -116,7 +122,7 @@ def main():
     sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
                         top_p_kmeans=0.9, min_kc_ratio=0.10,
                         kmeans_iter_init=50, kmeans_iter_step=2,
-                        block_kv=args.sap_bkv,
+                        block_kv=args.sap_bkv, block_mode=args.sap_block_mode,
                         force_density=None if args.organic else args.density)
 
     unit_cfg = dataclasses.replace(base, num_layers=UNIT)
@@ -225,7 +231,8 @@ def main():
                sap_density=round(density, 4) if density is not None else None,
                sap_density_source=density_source,
                sap_config={"qc": args.qc, "kc": args.kc,
-                           "block_kv": args.sap_bkv, "top_p": 0.9})
+                           "block_kv": args.sap_bkv, "top_p": 0.9,
+                           "block_mode": args.sap_block_mode})
     print(json.dumps(out))
 
 

@@ -166,6 +166,19 @@ class SAPConfig:
     # sparse/svg2.py pc1_relabel)
     relabel: str = "popularity"
     force_density: float | None = None
+    # Block granularity mode (TPU-specific redesign knob):
+    #   "cluster" — the reference semantics: selection and run metadata at
+    #     k-means-cluster granularity (variable sizes). Matches the patched
+    #     FlashInfer variable-block formulation exactly, but organic top-p
+    #     maps select SCATTERED clusters and every selected run pays a full
+    #     block_kv DMA chunk (measured 1.7-13x wasted KV traffic, round 4).
+    #   "tile" — fixed-grain quantization: tokens are re-labeled into
+    #     block_q/block_kv-token tiles of the k-means-sorted order, tile
+    #     centroids (segment means) drive the SAME top-p selection natively
+    #     at tile granularity, and every selected KV tile is exactly one
+    #     kernel DMA chunk: zero padding waste, zero partial chunks
+    #     (sparse/svg2.py tile_quantize).
+    block_mode: str = "cluster"
 
     @property
     def run_qsplit(self) -> int:

@@ -22,6 +22,14 @@ TPU re-design decisions (vs the reference's CUDA/FlashInfer path):
 - The k-means warm-start state is an explicit functional carry (SAPState)
   threaded through the denoising loop, instead of mutated processor
   attributes (reference attention.py:406-408,427-429).
+- block_mode="tile" (TPU-first alternative to the reference's variable
+  cluster blocks): tokens are re-labeled into fixed block_q/block_kv tiles
+  of the k-means-sorted order and the top-p dynamic map is computed
+  natively at tile granularity from tile centroids (tile_quantize), so
+  every selected KV tile is exactly one kernel DMA chunk — organic
+  (scattered) top-p selections then run with zero padding waste, where
+  cluster-granularity runs measured 1.7-13x wasted KV traffic on the
+  128-lane MXU (NOTES_ROUND4.md organic saga).
 """
 
 from __future__ import annotations
@@ -101,6 +109,43 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
         state.last_density,
     )
     return (qlab, qcent, qsz), (klab, kcent, ksz), new_state
+
+
+def tile_quantize(x, lab, grain: int, n_tiles: int):
+    """Re-label tokens into fixed `grain`-token tiles of the cluster-sorted
+    order; return (tile_labels, tile_sizes, tile_centroids).
+
+    TPU-first redesign of SVG2's variable-size cluster blocks (SURVEY §7).
+    The reference's patched FlashInfer kernel walks variable cluster blocks
+    at 64-token GPU tiles (assets/patches/modifications.patch:49-99); on a
+    128-lane MXU every selected run instead pays a full static block_kv DMA
+    chunk, and organic top-p maps select SCATTERED clusters — measured
+    1.7-13x wasted KV traffic (NOTES_ROUND4.md, wan-14B organic sweep).
+    Quantizing the k-means-sorted order into tiles of exactly the kernel
+    chunk size makes every selected tile one full DMA chunk: zero padding
+    waste, zero partial chunks, and a uniform run-metadata layout. k-means
+    still provides the semantic ordering (a stable sort keeps within-cluster
+    temporal order, so tiles inherit cluster homogeneity); the dynamic map
+    is then computed natively at tile granularity from tile centroids
+    (segment means), so the top-p selection semantics are unchanged — only
+    the selection granularity is the hardware tile instead of the cluster.
+
+    x: (BH, S, D) tokens, lab: (BH, S) k-means labels. n_tiles = ceil(S/grain).
+    """
+    BH, S, D = x.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
+    _, perm = jax.lax.sort_key_val(lab, iota, dimension=-1)  # new -> old
+    _, rank = jax.lax.sort_key_val(perm, iota, dimension=-1)  # old -> new
+    tlab = (rank // grain).astype(jnp.int32)
+    sizes = jnp.clip(S - jnp.arange(n_tiles, dtype=jnp.int32) * grain, 0, grain)
+    sizes = jnp.broadcast_to(sizes[None], (BH, n_tiles)).astype(jnp.int32)
+    xs = core_permute.flat_row_gather(x, perm)
+    pad = n_tiles * grain - S
+    if pad:
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+    xs = xs.reshape(BH, n_tiles, grain, D).astype(jnp.float32)
+    cent = jnp.sum(xs, axis=2) / jnp.maximum(sizes[..., None].astype(jnp.float32), 1.0)
+    return tlab, sizes, cent.astype(x.dtype)
 
 
 def popularity_relabel(dyn_map, klab, ksz, kcent):
@@ -239,6 +284,17 @@ def sap_sparse_attention(
         qf[:, :vl], kf[:, :vl], state, cfg, rng
     )
 
+    # 1b. tile mode: quantize the k-means order into fixed hardware tiles
+    # (q tiles of block_q, KV tiles of block_kv) and select at tile
+    # granularity — every selected KV tile is exactly one kernel DMA chunk
+    tile_mode = cfg.block_mode == "tile"
+    if tile_mode:
+        QC = -(-vl // bq)
+        KC = -(-vl // bkv)
+        qlab, qsz, qcent = tile_quantize(qf[:, :vl], qlab, bq, QC)
+        klab, ksz, kcent = tile_quantize(kf[:, :vl], klab, bkv, KC)
+    n_video_qc = QC
+
     # 2. dynamic map (cluster-pair top-p selection)
     dyn = identify_dynamic_map(
         qcent.reshape(B, H, QC, D),
@@ -279,7 +335,15 @@ def sap_sparse_attention(
     #    contiguous sort — no 128-alignment padding (which inflated KV 2.7x at
     #    the reference kc=1000 config); partial-block cluster boundaries are
     #    handled exactly by the run-list metadata windows.
-    sq_pad = core_permute.padded_seq_len(S, QC, bq)
+    if tile_mode:
+        # video q tiles are exactly block_q (except one partial tail tile),
+        # so the padded layout is exact — no worst-case per-cluster slack
+        sq_pad = n_video_qc * bq
+        if text_last:
+            pl_t = layout.prompt_length
+            sq_pad += (-(-pl_t // bq) + -(-(layout.context_length - pl_t) // bq)) * bq
+    else:
+        sq_pad = core_permute.padded_seq_len(S, QC, bq)
     qmaps = core_permute.padded_permutation(qlab, qsz, n_clusters=QC, block=bq, s_pad=sq_pad)
     qp = core_permute.gather_padded(qf, qmaps["src"])
 

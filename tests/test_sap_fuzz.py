@@ -29,18 +29,23 @@ from sparse_videogen_tpu.sparse.svg2 import init_sap_state, sap_sparse_attention
 # excluded from the fast CI gate (pytest -m 'not slow')
 pytestmark = pytest.mark.slow
 CASES = [
-    # (nf, fs, ctx, prompt_len, qc, kc, block_q)
-    (3, 48, 0, 0, 23, 38, 32),     # many clusters, most empty
-    (5, 37, 0, 0, 2, 33, 32),      # qc=2 degenerate
-    (4, 90, 0, 0, 14, 9, 128),     # kc < qc
-    (3, 48, 17, 8, 5, 21, 32),     # tiny text tail
-    (5, 90, 256, 111, 10, 27, 128),  # hyvideo-like text-last
-    (3, 90, 29, 2, 24, 2, 64),     # kc=2 + nearly-empty prompt
+    # (nf, fs, ctx, prompt_len, qc, kc, block_q, block_mode)
+    (3, 48, 0, 0, 23, 38, 32, "cluster"),     # many clusters, most empty
+    (5, 37, 0, 0, 2, 33, 32, "cluster"),      # qc=2 degenerate
+    (4, 90, 0, 0, 14, 9, 128, "cluster"),     # kc < qc
+    (3, 48, 17, 8, 5, 21, 32, "cluster"),     # tiny text tail
+    (5, 90, 256, 111, 10, 27, 128, "cluster"),  # hyvideo-like text-last
+    (3, 90, 29, 2, 24, 2, 64, "cluster"),     # kc=2 + nearly-empty prompt
+    # tile mode: fixed-grain quantization of the k-means order; qc/kc only
+    # steer the clustering, the map granularity is block_q/block_kv tiles
+    (4, 90, 0, 0, 14, 9, 128, "tile"),
+    (5, 90, 256, 111, 10, 27, 128, "tile"),   # text-last + partial tail tiles
+    (3, 48, 17, 8, 5, 21, 32, "tile"),        # S far from tile multiples
 ]
 
 
-@pytest.mark.parametrize("nf,fs,ctx,pl,qc,kc,bq", CASES)
-def test_sap_full_density_equals_dense(nf, fs, ctx, pl, qc, kc, bq):
+@pytest.mark.parametrize("nf,fs,ctx,pl,qc,kc,bq,bmode", CASES)
+def test_sap_full_density_equals_dense(nf, fs, ctx, pl, qc, kc, bq, bmode):
     H, D = 2, 64
     S = nf * fs + ctx
     if ctx:
@@ -50,7 +55,7 @@ def test_sap_full_density_equals_dense(nf, fs, ctx, pl, qc, kc, bq):
         layout = VideoLayout(num_frames=nf, frame_size=fs)
     cfg = SAPConfig(num_q_centroids=qc, num_k_centroids=kc, top_p_kmeans=1.0,
                     min_kc_ratio=1.0, kmeans_iter_init=3, kmeans_iter_step=2,
-                    block_q=bq, block_kv=128)
+                    block_q=bq, block_kv=128, block_mode=bmode)
     key = jax.random.PRNGKey(hash((nf, fs, ctx, qc, kc)) % (2**31))
     kq, kk, kv_, ks = jax.random.split(key, 4)
     q = jax.random.normal(kq, (1, H, S, D), jnp.float32)
