@@ -33,13 +33,14 @@ def _parse(a):
     parts = a.split(":")
     return (int(parts[0]), int(parts[1]),
             parts[2] if len(parts) > 2 else "popularity",
-            int(parts[3]) if len(parts) > 3 else 1000)
+            int(parts[3]) if len(parts) > 3 else 1000,
+            parts[4] if len(parts) > 4 else "cluster")
 
 
 pairs = [_parse(a) for a in sys.argv[1:]] or [
-    (256, 1024, "popularity", 1000), (256, 512, "popularity", 1000),
-    (256, 256, "popularity", 1000), (256, 128, "popularity", 1000),
-    (128, 256, "popularity", 1000),
+    (256, 1024, "popularity", 1000, "cluster"), (256, 512, "popularity", 1000, "cluster"),
+    (256, 256, "popularity", 1000, "cluster"), (256, 128, "popularity", 1000, "cluster"),
+    (128, 256, "popularity", 1000, "cluster"),
 ]
 UNIT = 4
 base = WM.WAN_14B
@@ -53,10 +54,10 @@ params["blocks"] = quantize_linears_int8(params["blocks"])
 x = smooth_latents(jax.random.PRNGKey(1), (1, base.in_dim, F, H, W), (3, 6, 6))
 ctx = jax.random.normal(jax.random.PRNGKey(2), (1, base.text_len, base.text_dim), jnp.bfloat16)
 
-for bq, bkv, rel, kc in pairs:
+for bq, bkv, rel, kc, mode in pairs:
     sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=kc, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        block_q=bq, block_kv=bkv, relabel=rel)
+                        block_q=bq, block_kv=bkv, relabel=rel, block_mode=mode)
     rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
     consts = rt.consts()
 
@@ -71,5 +72,5 @@ for bq, bkv, rel, kc in pairs:
     _, s1 = jax.block_until_ready(fwd(params, x, ctx, s0, consts))
     d = float(np.mean(np.asarray(s1.last_density, np.float64)))
     t = measure_fenced(lambda: fwd(params, x, ctx, s1, consts)[0], iters=2, warmup=1)
-    print(f"bq={bq} bkv={bkv} relabel={rel} kc={kc}: warm u=1 {t:.2f} s "
+    print(f"bq={bq} bkv={bkv} relabel={rel} kc={kc} mode={mode}: warm u=1 {t:.2f} s "
           f"(density {d:.3f})", flush=True)

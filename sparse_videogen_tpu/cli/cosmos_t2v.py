@@ -48,6 +48,12 @@ def build_parser():
     p.add_argument("--min_kc_ratio", type=float, default=0.0)
     p.add_argument("--kmeans_iter_init", type=int, default=50)
     p.add_argument("--kmeans_iter_step", type=int, default=2)
+    p.add_argument("--sap_block_mode", type=str, default="cluster",
+                   choices=["cluster", "tile"],
+                   help="SAP selection granularity: 'cluster' = the "
+                        "reference's variable-size cluster blocks; "
+                        "'tile' = fixed block_kv tiles of the k-means "
+                        "order (TPU-optimal under organic density)")
     p.add_argument("--smoke", action="store_true")
     from sparse_videogen_tpu.cli._parallel import add_parallel_flags
 
@@ -170,7 +176,8 @@ def main(argv=None):
                       top_p_kmeans=args.top_p_kmeans,
                       min_kc_ratio=args.min_kc_ratio,
                       kmeans_iter_init=args.kmeans_iter_init,
-                      kmeans_iter_step=args.kmeans_iter_step),
+                      kmeans_iter_step=args.kmeans_iter_step,
+                      block_mode=args.sap_block_mode),
         seed=args.seed,
         logging_file=args.logging_file,
     )

@@ -66,6 +66,12 @@ def build_parser():
     p.add_argument("--min_kc_ratio", type=float, default=0.0)
     p.add_argument("--kmeans_iter_init", type=int, default=50)
     p.add_argument("--kmeans_iter_step", type=int, default=2)
+    p.add_argument("--sap_block_mode", type=str, default="cluster",
+                   choices=["cluster", "tile"],
+                   help="SAP selection granularity: 'cluster' = the "
+                        "reference's variable-size cluster blocks; "
+                        "'tile' = fixed block_kv tiles of the k-means "
+                        "order (TPU-optimal under organic density)")
     p.add_argument("--zero_step_kmeans_init", action="store_true")
     p.add_argument("--logging_file", type=str, default=None,
                    help="JSONL density telemetry for SAP (reference --logging_file)")
@@ -242,7 +248,8 @@ def main(argv=None):
                       min_kc_ratio=args.min_kc_ratio,
                       kmeans_iter_init=args.kmeans_iter_init,
                       kmeans_iter_step=args.kmeans_iter_step,
-                      zero_step_kmeans_init=args.zero_step_kmeans_init),
+                      zero_step_kmeans_init=args.zero_step_kmeans_init,
+                      block_mode=args.sap_block_mode),
         seed=args.seed,
         logging_file=args.logging_file,
     )
