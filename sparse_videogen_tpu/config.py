@@ -179,6 +179,12 @@ class SAPConfig:
     #     kernel DMA chunk: zero padding waste, zero partial chunks
     #     (sparse/svg2.py tile_quantize).
     block_mode: str = "cluster"
+    # KV tile grain for block_mode="tile" (multiple of 128). None = block_kv
+    # (each selected tile is exactly one DMA chunk). Finer grains (128/256)
+    # trade partial-chunk DMA waste for less selection dilation: with PC1
+    # seriation adjacent selected tiles coalesce into long runs, so most
+    # chunks stay full while the top-p map tracks the data more tightly.
+    tile_grain: int | None = None
 
     @property
     def run_qsplit(self) -> int:

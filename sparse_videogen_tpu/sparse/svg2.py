@@ -167,6 +167,46 @@ def popularity_relabel(dyn_map, klab, ksz, kcent):
     return dyn2, klab2, ksz2, kcent2
 
 
+def pc1_order(cent, sizes):
+    """Size-weighted centroid-PC1 seriation keys: (order, rank).
+
+    cent: (BH, C, D), sizes: (BH, C). order is new->old, rank old->new.
+    PC1 via 8 fixed power iterations on the size-weighted centroid
+    covariance (deterministic start; degenerate spectra give some valid
+    order). Shared by pc1_relabel (post-map layout) and the tile-mode
+    pre-tiling seriation.
+    """
+    w = sizes[..., None].astype(jnp.float32)
+    c = cent.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    mu = jnp.sum(c * w, axis=1, keepdims=True) / wsum
+    cw = (c - mu) * jnp.sqrt(w)
+    v = jnp.ones((c.shape[0], c.shape[-1], 1), jnp.float32)
+    for _ in range(8):
+        v = jnp.einsum("bkd,bke->bde", cw, cw @ v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-20)
+    key = ((c - mu) @ v)[..., 0]  # (BH, C)
+    order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # new -> old
+    rank = jnp.argsort(order, axis=-1).astype(jnp.int32)  # old -> new
+    return order, rank
+
+
+def seriate_labels(lab, cent, sizes, n_clusters: int):
+    """Relabel tokens so cluster ids follow centroid-PC1 order.
+
+    Pre-tiling step for block_mode="tile": raw k-means label ids are
+    ARBITRARY, so fixed tiles of the label-sorted order would span
+    semantically unrelated clusters, blurring the tile centroids that feed
+    the top-p selection (measured on wan-14B organic: tile density 0.54 vs
+    0.24 at cluster granularity without seriation). PC1-adjacent clusters
+    are similar, so each tile inherits cluster coherence.
+    """
+    from sparse_videogen_tpu.core.permute import gather_small_i32
+
+    _, rank = pc1_order(cent, sizes)
+    return gather_small_i32(rank, lab, n_clusters)
+
+
 def pc1_relabel(dyn_map, klab, ksz, kcent):
     """Relabel KV clusters along the top principal component of their
     centroids (size-weighted spectral seriation). Layout-only permutation —
@@ -178,26 +218,14 @@ def pc1_relabel(dyn_map, klab, ksz, kcent):
     the scattered tail fragments into per-cluster runs (measured ~10x
     kernel waste at block_kv=1024 on organic wan-14B maps, round 4).
 
-    PC1 via 8 fixed power iterations on the size-weighted centroid
-    covariance (deterministic start; degenerate spectra just give some
-    valid order).
+    PC1 keys from pc1_order (8 fixed power iterations on the size-weighted
+    centroid covariance).
     """
     from sparse_videogen_tpu.core.permute import gather_small_i32
 
-    pop = jnp.sum(dyn_map, axis=-2).reshape(klab.shape[0], -1)  # (BH, KC)
-    BH, KC = pop.shape
-    w = ksz.reshape(BH, KC, 1).astype(jnp.float32)
-    c = kcent.reshape(BH, KC, -1).astype(jnp.float32)
-    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
-    mu = jnp.sum(c * w, axis=1, keepdims=True) / wsum
-    cw = (c - mu) * jnp.sqrt(w)
-    v = jnp.ones((BH, c.shape[-1], 1), jnp.float32)
-    for _ in range(8):
-        v = jnp.einsum("bkd,bke->bde", cw, cw @ v)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-20)
-    key = ((c - mu) @ v)[..., 0]  # (BH, KC)
-    order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # new -> old
-    rank = jnp.argsort(order, axis=-1).astype(jnp.int32)  # old -> new
+    BH = klab.shape[0]
+    KC = ksz.shape[-1]
+    order, rank = pc1_order(kcent.reshape(BH, KC, -1), ksz.reshape(BH, KC))
     klab2 = gather_small_i32(rank, klab, KC)
     ksz2 = jnp.take_along_axis(ksz, order, axis=-1)
     kcent2 = jnp.take_along_axis(kcent, order[..., None], axis=-2)
@@ -289,10 +317,18 @@ def sap_sparse_attention(
     # granularity — every selected KV tile is exactly one kernel DMA chunk
     tile_mode = cfg.block_mode == "tile"
     if tile_mode:
+        # seriate cluster ids along centroid PC1 first: tiles slice the
+        # label-sorted order, and raw k-means ids are arbitrary (see
+        # seriate_labels — without this, tiles mix unrelated clusters and
+        # the blurred tile centroids double the organic top-p density)
+        qlab = seriate_labels(qlab, qcent, qsz, QC)
+        klab = seriate_labels(klab, kcent, ksz, KC)
+        kv_grain = cfg.tile_grain or bkv
+        assert kv_grain % MD.SUB == 0, (kv_grain, MD.SUB)
         QC = -(-vl // bq)
-        KC = -(-vl // bkv)
+        KC = -(-vl // kv_grain)
         qlab, qsz, qcent = tile_quantize(qf[:, :vl], qlab, bq, QC)
-        klab, ksz, kcent = tile_quantize(kf[:, :vl], klab, bkv, KC)
+        klab, ksz, kcent = tile_quantize(kf[:, :vl], klab, kv_grain, KC)
     n_video_qc = QC
 
     # 2. dynamic map (cluster-pair top-p selection)

@@ -55,12 +55,18 @@ def _mk_cfg(**kw):
     return SAPConfig(**base)
 
 
-def test_tile_full_density_equals_dense_tiny():
+import pytest
+
+
+@pytest.mark.parametrize("grain,bkv", [(None, 128), (128, 256)])
+def test_tile_full_density_equals_dense_tiny(grain, bkv):
     """top_p=1 selects every tile pair -> exact dense attention (fast gate
-    version of the slow fuzz; S deliberately not a tile multiple)."""
+    version of the slow fuzz; S deliberately not a tile multiple). The
+    second case decouples the selection grain (128) from the kernel chunk
+    (block_kv=256): adjacent selected tiles must merge into runs exactly."""
     H, S, D = 2, 5 * 67, 32
     layout = VideoLayout(num_frames=5, frame_size=67)
-    cfg = _mk_cfg()
+    cfg = _mk_cfg(tile_grain=grain, block_kv=bkv)
     key = jax.random.PRNGKey(0)
     kq, kk, kv_, ks = jax.random.split(key, 4)
     q = jax.random.normal(kq, (1, H, S, D), jnp.float32)
@@ -98,10 +104,12 @@ def test_tile_forced_prefix_matches_masked_oracle():
     out, new_state, density = sap_sparse_attention(
         q, k, v, state, ks, layout=layout, cfg=cfg, with_density=True)
 
-    # re-derive the tile labels exactly as the pipeline does
+    # re-derive the tile labels exactly as the pipeline does (PC1 seriation
+    # precedes tiling)
     qf = q.reshape(B * H, S, D)
     kf = k.reshape(B * H, S, D)
-    (_, _, _), (klab_c, _, _), _ = svg2.sap_cluster(qf, kf, state, cfg, ks)
+    (_, _, _), (klab_c, kcent_c, ksz_c), _ = svg2.sap_cluster(qf, kf, state, cfg, ks)
+    klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
     klab, _, _ = tile_quantize(kf, klab_c, cfg.block_kv, KC)
 
     keep = np.asarray(klab) < kcn  # (BH, S)
@@ -134,7 +142,7 @@ def test_tile_topp_subset_matches_token_oracle():
     k = jnp.asarray(q)
     v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
     cfg = _mk_cfg(num_q_centroids=5, num_k_centroids=5, top_p_kmeans=0.85,
-                  min_kc_ratio=0.0, block_q=32, block_kv=128)
+                  min_kc_ratio=0.0, block_q=32, block_kv=256, tile_grain=128)
     state = init_sap_state(B * H, D, cfg, dtype=jnp.float32)
     ks = jax.random.PRNGKey(0)
     out, st2, density = sap_sparse_attention(
@@ -147,11 +155,14 @@ def test_tile_topp_subset_matches_token_oracle():
     # a valid oracle)
     qf = q.reshape(B * H, S, D)
     kf = k.reshape(B * H, S, D)
-    (qlab_c, _, _), (klab_c, _, _), _ = svg2.sap_cluster(qf, kf, state, cfg, ks)
-    bq, bkv = cfg.block_q, cfg.block_kv
-    QC, KC = -(-S // bq), -(-S // bkv)
+    (qlab_c, qcent_c, qsz_c), (klab_c, kcent_c, ksz_c), _ = svg2.sap_cluster(
+        qf, kf, state, cfg, ks)
+    qlab_c = svg2.seriate_labels(qlab_c, qcent_c, qsz_c, cfg.num_q_centroids)
+    klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
+    bq, grain = cfg.block_q, (cfg.tile_grain or cfg.block_kv)
+    QC, KC = -(-S // bq), -(-S // grain)
     qlab, qsz, qcent = tile_quantize(qf, qlab_c, bq, QC)
-    klab, ksz, kcent = tile_quantize(kf, klab_c, bkv, KC)
+    klab, ksz, kcent = tile_quantize(kf, klab_c, grain, KC)
     dyn = identify_dynamic_map(
         qcent.reshape(B, H, QC, D), kcent.reshape(B, H, KC, D),
         qsz.reshape(B, H, QC), ksz.reshape(B, H, KC),
