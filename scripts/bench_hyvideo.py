@@ -83,6 +83,11 @@ def main():
                          "--kc and probe_organic_bkv.py")
     ap.add_argument("--qc", type=int, default=400)
     ap.add_argument("--sap_bkv", type=int, default=512)
+    ap.add_argument("--sap_block_mode", type=str, default="tile",
+                    choices=["cluster", "tile"],
+                    help="'tile' (default) = fixed block_kv tiles of the "
+                         "PC1-seriated k-means order — the organic-density "
+                         "TPU mode (see bench_wan14b.py --sap_block_mode)")
     args = ap.parse_args()
     t_start = time.monotonic()
 
@@ -214,6 +219,7 @@ def main():
                             top_p_kmeans=0.9, min_kc_ratio=0.10,
                             kmeans_iter_init=50, kmeans_iter_step=2,
                             block_q=args.sap_block_q, block_kv=args.sap_bkv,
+                            block_mode=args.sap_block_mode,
                             max_runs=min(256, args.kc + 2),
                             force_density=None if args.organic else 0.25)
         sap_rt = SAPRuntime(plan, sap_cfg,
@@ -266,6 +272,7 @@ def main():
                 else:
                     out["sap_density"] = 0.25
                     out["sap_density_source"] = "forced"
+                out["sap_block_mode"] = args.sap_block_mode
         print(json.dumps(out), flush=True)
 
     times = {"dense": {}, "svg1": {}}

@@ -70,12 +70,16 @@ def main():
     ap.add_argument("--sap_bkv", type=int, default=512,
                     help="SAP block_kv; 512 is the fragmented-regime "
                          "optimum (1024 wins only on contiguous/forced maps)")
-    ap.add_argument("--sap_block_mode", type=str, default="cluster",
+    ap.add_argument("--sap_block_mode", type=str, default="tile",
                     choices=["cluster", "tile"],
                     help="SAP selection granularity: 'cluster' = reference "
                          "variable-size clusters; 'tile' = fixed block_kv "
-                         "tiles of the k-means order (every selected tile "
-                         "is one DMA chunk — the organic-density TPU mode)")
+                         "tiles of the PC1-seriated k-means order (every "
+                         "selected tile is one DMA chunk). tile is the "
+                         "organic-density TPU default: measured e2e 0.899x "
+                         "@ d=0.50 vs cluster 0.759x @ d=0.27 (same top_p; "
+                         "tile processes MORE true attention mass per "
+                         "second — NOTES_ROUND4.md session 3)")
     ap.add_argument("--organic_gain", type=float, default=2.0,
                     help="q-norm gain for --organic; calibrated on TPU "
                          "(scripts/probe_organic_gain.py: 1.0 -> density "

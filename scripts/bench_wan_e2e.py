@@ -52,6 +52,11 @@ def main():
                          "smooth latents, utils/organic.py); measured density "
                          "reported instead of force_density")
     ap.add_argument("--pinned", dest="organic", action="store_false")
+    ap.add_argument("--sap_block_mode", type=str, default="tile",
+                    choices=["cluster", "tile"],
+                    help="'tile' (default) = fixed block_kv tiles of the "
+                         "PC1-seriated k-means order — the organic-density "
+                         "TPU mode (see bench_wan14b.py --sap_block_mode)")
     ap.add_argument("--organic_gain", type=float, default=3.0,
                     help="1.3B needs a sharper gain than the 14B's 2.0: at "
                          "gain 2.0 the measured density was 0.40 (above the "
@@ -94,7 +99,7 @@ def main():
     # rationale and sweep in scripts/bench_wan14b.py --kc).
     sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=250, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        block_kv=512,
+                        block_kv=512, block_mode=args.sap_block_mode,
                         force_density=None if args.organic else 0.25)
 
     params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -201,6 +206,7 @@ def main():
         "sap_warm_step_s": round(t_sap_warm, 3),
         "sap_density": round(sap_density, 4) if args.organic else 0.25,
         "sap_density_source": "organic" if args.organic else "forced",
+        "sap_block_mode": args.sap_block_mode,
     }))
 
 

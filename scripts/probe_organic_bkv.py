@@ -34,13 +34,16 @@ def _parse(a):
     return (int(parts[0]), int(parts[1]),
             parts[2] if len(parts) > 2 else "popularity",
             int(parts[3]) if len(parts) > 3 else 1000,
-            parts[4] if len(parts) > 4 else "cluster")
+            parts[4] if len(parts) > 4 else "cluster",
+            int(parts[5]) if len(parts) > 5 else 0,  # tile_grain (0 = block_kv)
+            float(parts[6]) if len(parts) > 6 else 0.9,  # top_p
+            int(parts[7]) if len(parts) > 7 else 0)  # qsplit (0 = 1)
 
 
 pairs = [_parse(a) for a in sys.argv[1:]] or [
-    (256, 1024, "popularity", 1000, "cluster"), (256, 512, "popularity", 1000, "cluster"),
-    (256, 256, "popularity", 1000, "cluster"), (256, 128, "popularity", 1000, "cluster"),
-    (128, 256, "popularity", 1000, "cluster"),
+    (256, 1024, "popularity", 1000, "cluster", 0, 0.9, 0), (256, 512, "popularity", 1000, "cluster", 0, 0.9, 0),
+    (256, 256, "popularity", 1000, "cluster", 0, 0.9, 0), (256, 128, "popularity", 1000, "cluster", 0, 0.9, 0),
+    (128, 256, "popularity", 1000, "cluster", 0, 0.9, 0),
 ]
 UNIT = 4
 base = WM.WAN_14B
@@ -54,10 +57,11 @@ params["blocks"] = quantize_linears_int8(params["blocks"])
 x = smooth_latents(jax.random.PRNGKey(1), (1, base.in_dim, F, H, W), (3, 6, 6))
 ctx = jax.random.normal(jax.random.PRNGKey(2), (1, base.text_len, base.text_dim), jnp.bfloat16)
 
-for bq, bkv, rel, kc, mode in pairs:
-    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=kc, top_p_kmeans=0.9,
+for bq, bkv, rel, kc, mode, grain, top_p, qs in pairs:
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=kc, top_p_kmeans=top_p,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        block_q=bq, block_kv=bkv, relabel=rel, block_mode=mode)
+                        block_q=bq, block_kv=bkv, relabel=rel, block_mode=mode,
+                        tile_grain=grain or None, qsplit=qs or None)
     rt = SAPRuntime(plan, sap_cfg, WarmupSchedule(first_layers=0, first_times=1001.0))
     consts = rt.consts()
 
@@ -72,5 +76,5 @@ for bq, bkv, rel, kc, mode in pairs:
     _, s1 = jax.block_until_ready(fwd(params, x, ctx, s0, consts))
     d = float(np.mean(np.asarray(s1.last_density, np.float64)))
     t = measure_fenced(lambda: fwd(params, x, ctx, s1, consts)[0], iters=2, warmup=1)
-    print(f"bq={bq} bkv={bkv} relabel={rel} kc={kc} mode={mode}: warm u=1 {t:.2f} s "
-          f"(density {d:.3f})", flush=True)
+    print(f"bq={bq} bkv={bkv} relabel={rel} kc={kc} mode={mode} grain={grain or bkv} "
+          f"p={top_p} qs={qs or 1}: warm u=1 {t:.2f} s (density {d:.3f})", flush=True)

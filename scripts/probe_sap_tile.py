@@ -33,10 +33,13 @@ def _parse(a):
 
 
 specs = [_parse(a) for a in sys.argv[1:]] or [
-    ("cluster", "popularity", 250, 256, 512, 0, 0.9),
-    ("tile", "pc1", 250, 256, 512, 0, 0.9),
-    ("tile", "pc1", 250, 256, 512, 256, 0.9),
-    ("tile", "pc1", 250, 256, 512, 128, 0.9),
+    # density sweep at fixed config: slope = kernel cost per unit density,
+    # intercept = density-independent glue (kmeans + permute + metadata)
+    ("tile", "auto", 250, 256, 512, 0, 0.9),
+    ("tile", "auto", 250, 256, 512, 0, 0.5),
+    ("tile", "auto", 250, 256, 512, 0, 0.2),
+    ("tile", "auto", 250, 512, 512, 0, 0.9),
+    ("cluster", "auto", 250, 256, 512, 0, 0.9),
 ]
 
 B, H, S, D = 1, 40, 75600, 128
@@ -45,13 +48,17 @@ layout = VideoLayout(num_frames=21, frame_size=3600)
 
 @jax.jit
 def gen(key):
-    """Clustered q (k := q) — PSD similarity logits like utils/organic.py."""
+    """Clustered q (k := q) — PSD similarity logits like utils/organic.py.
+
+    Center lookup is a one-hot MXU matmul: a (B, H, S)-indexed dynamic
+    take_along_axis ABORTS the axon TPU worker (NOTES_ROUND4.md gotcha).
+    """
     kc_, kn, kv_ = jax.random.split(key, 3)
     centers = jax.random.normal(kc_, (B, H, 64, D), jnp.float32) * 2.0
-    # smooth cluster assignment along the sequence: random walk over ids
     steps = jax.random.randint(kn, (B, H, S), 0, 64)
-    q = jnp.take_along_axis(centers, steps[..., None], axis=2)
-    q = q + 0.4 * jax.random.normal(kv_, (B, H, S, D), jnp.float32)
+    onehot = jax.nn.one_hot(steps, 64, dtype=jnp.bfloat16)
+    q = jnp.einsum("bhsc,bhcd->bhsd", onehot, centers.astype(jnp.bfloat16))
+    q = q.astype(jnp.float32) + 0.4 * jax.random.normal(kv_, (B, H, S, D), jnp.float32)
     v = jax.random.normal(kv_, (B, H, S, D), jnp.float32)
     return q.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
 
@@ -62,8 +69,10 @@ rng = jax.random.PRNGKey(1)
 
 tk_cache = {}
 for mode, rel, kc, bq, bkv, grain, top_p in specs:
+    # iter_init=8: a standalone 50-iteration cold k-means program aborts the
+    # axon worker (NOTES_ROUND4.md); only warm steps (iter_step=2) are timed
     cfg = SAPConfig(num_q_centroids=300, num_k_centroids=kc, top_p_kmeans=top_p,
-                    min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
+                    min_kc_ratio=0.10, kmeans_iter_init=8, kmeans_iter_step=2,
                     block_q=bq, block_kv=bkv, block_mode=mode, relabel=rel,
                     tile_grain=grain or None)
     state = init_sap_state(B * H, D, cfg)

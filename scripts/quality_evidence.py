@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--min_psnr", type=float, default=20.0,
                     help="gate: PSNR(dense, svg1) must exceed this")
     ap.add_argument("--skip_sap", action="store_true")
+    ap.add_argument("--sap_block_mode", type=str, default="tile",
+                    choices=["cluster", "tile"],
+                    help="'tile' (default) = the benches' recommended "
+                         "organic-density TPU mode (bench_wan14b.py "
+                         "--sap_block_mode); quality is evidenced for the "
+                         "recommended config")
     ap.add_argument("--skip_int8", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_r04.json"))
     ap.add_argument("--smoke", action="store_true",
@@ -96,7 +102,7 @@ def main():
                     num_k_centroids=250 if not args.smoke else 12,
                     top_p_kmeans=0.9, min_kc_ratio=0.10, block_kv=512,
                     kmeans_iter_init=50 if not args.smoke else 4,
-                    kmeans_iter_step=2)
+                    kmeans_iter_step=2, block_mode=args.sap_block_mode)
 
     lat = {}
     t0 = time.time()

@@ -164,7 +164,11 @@ class SAPConfig:
     # PC1 seriation; organic top-p selections are similarity balls, so a
     # locality-preserving order coalesces each row's runs — see
     # sparse/svg2.py pc1_relabel)
-    relabel: str = "popularity"
+    # "auto" resolves per block_mode: cluster -> popularity, tile -> pc1
+    # (tile runs live in the PC1-seriated order, so a locality-preserving
+    # post-map relabel coalesces adjacent selected tiles into long runs —
+    # measured -10% vs popularity on wan-14B organic, NOTES_ROUND4.md)
+    relabel: str = "auto"
     force_density: float | None = None
     # Block granularity mode (TPU-specific redesign knob):
     #   "cluster" — the reference semantics: selection and run metadata at

@@ -45,7 +45,11 @@ from sparse_videogen_tpu.core import permute as core_permute
 from sparse_videogen_tpu.core.dynamic_map import density_calculation, identify_dynamic_map
 from sparse_videogen_tpu.core.kmeans import batch_kmeans, init_centroids
 from sparse_videogen_tpu.ops import metadata as MD
-from sparse_videogen_tpu.ops.attention import block_sparse_attention_runs, pack_kv
+from sparse_videogen_tpu.ops.attention import (
+    block_sparse_attention_kv,
+    block_sparse_attention_runs,
+    pack_kv,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -358,9 +362,25 @@ def sap_sparse_attention(
     new_state = dataclasses.replace(
         new_state, last_density=density.reshape(BH).astype(jnp.float32))
 
-    # 3. popularity relabel (coalesces kv runs; output-invariant)
-    relabel = pc1_relabel if cfg.relabel == "pc1" else popularity_relabel
-    dyn_f, klab, ksz, _ = relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)
+    # 3. KV relabel before run metadata (layout-only, output-invariant).
+    # "auto": popularity for cluster mode (the contiguous popular prefix
+    # coalesces); pc1 for tile mode (tiles live in the PC1-seriated order,
+    # so a locality-preserving order merges adjacent selected tiles into
+    # long runs — measured -10% vs popularity on wan-14B organic maps).
+    # The CSR fast path (tile mode, no text tail) skips relabeling: its
+    # chunk metadata is offset-derived from fixed grain boundaries, so the
+    # KV order must stay the tile_quantize order (the one partial tile has
+    # the largest id and sorts last, keeping every tile boundary a grain
+    # multiple) — and run coalescing buys the chunk walk nothing anyway.
+    use_csr = tile_mode and not text_last
+    if use_csr:
+        dyn_f = dyn.reshape(BH, QC, KC)
+    else:
+        rname = cfg.relabel
+        if rname == "auto":
+            rname = "pc1" if tile_mode else "popularity"
+        relabel = pc1_relabel if rname == "pc1" else popularity_relabel
+        dyn_f, klab, ksz, _ = relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)
 
     if text_last:
         dyn_f, qlab, qsz, klab, ksz = _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout)
@@ -390,21 +410,55 @@ def sap_sparse_attention(
     if sk_pad != S:
         kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
 
-    # 5. run-list metadata per (head, q-cluster) row, expanded to q blocks
-    zero = jnp.zeros_like(ksz[..., :1])
-    kstarts = jnp.cumsum(jnp.concatenate([zero, ksz[..., :-1]], axis=-1), axis=-1)
-    cap = min((cfg.max_runs or KC) + (2 if text_last else 0), KC)
-    meta_c = MD.run_meta_jnp(dyn_f, kstarts, ksz, block_kv=bkv, cap=cap)
+    # 5. per-(head, q-cluster) kernel metadata, expanded to q blocks
+    if use_csr:
+        # CSR fast path: tile boundaries are fixed grain offsets of the
+        # permuted KV array, so the tile dynamic map IS a block-sparse mask
+        # over 128-token sub-blocks — expand tiles to sub-blocks (a static
+        # repeat), let chunk_meta_jnp merge adjacent selected tiles into
+        # block_kv chunk walks, and run the SAME bias-only kernel as
+        # dense/SVG1 (block_sparse_attention_kv, mask kind "none": window
+        # masking is one (8, bkv) broadcast add per chunk). Motivation
+        # (measured, NOTES_ROUND4.md session 3): the runs kernel costs
+        # ~2.3x the dense-class kernel per processed chunk at wan-14B
+        # geometry — for uniform tiles the run-list generality buys nothing.
+        nsub = sk_pad // MD.SUB
+        subs_per_tile = kv_grain // MD.SUB
+        mask = jnp.repeat(dyn_f, subs_per_tile, axis=-1)
+        if mask.shape[-1] < nsub:  # tiny-S case: sk_pad = block_kv > S
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, nsub - mask.shape[-1])))
+        else:
+            mask = mask[..., :nsub]
+        counts = jnp.broadcast_to(
+            jnp.asarray(MD.kv_counts_for_seq(S, sk_pad), jnp.int32), (BH, nsub)
+        )  # kv_counts_for_seq already carries a leading broadcast axis
+        # worst case: a run of L consecutive selected tiles (grain <= bkv)
+        # takes ceil(L * grain / bkv) <= L chunks, so <= KC chunks per row
+        # (+2 margin for the partial tail sub-block breaking a run)
+        cap_csr = min(nsub, KC + 2)
+        meta_c = MD.chunk_meta_jnp(mask, counts, block_kv=bkv, cap=cap_csr)
+    else:
+        # run-list metadata: variable cluster sizes need token-window runs
+        zero = jnp.zeros_like(ksz[..., :1])
+        kstarts = jnp.cumsum(jnp.concatenate([zero, ksz[..., :-1]], axis=-1), axis=-1)
+        cap = min((cfg.max_runs or KC) + (2 if text_last else 0), KC)
+        meta_c = MD.run_meta_jnp(dyn_f, kstarts, ksz, block_kv=bkv, cap=cap)
     qb_c = qmaps["block_to_cluster"]  # (BH, nQ)
     meta = jnp.take_along_axis(meta_c, qb_c[..., None], axis=1)  # (BH, nQ, L)
     qblk_valid = qmaps["kv_counts"] > 0  # (BH, nQ): block holds >=1 real token
     meta = meta.at[..., 0].set(jnp.where(qblk_valid, meta[..., 0], 0))
 
     # 6. kernel + inverse permutation
-    out_pad = block_sparse_attention_runs(
-        qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=cfg.run_qsplit,
-        interpret=interpret,
-    )
+    if use_csr:
+        out_pad = block_sparse_attention_kv(
+            qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=cfg.run_qsplit,
+            interpret=interpret,
+        )
+    else:
+        out_pad = block_sparse_attention_runs(
+            qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=cfg.run_qsplit,
+            interpret=interpret,
+        )
     out = core_permute.ungather_padded(out_pad, qmaps["pos"]).reshape(B, H, S, D)
 
     if with_density:
