@@ -55,8 +55,8 @@ def main():
                          "measured mean density is reported")
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density SAP leg instead of --organic")
-    ap.add_argument("--kc", type=int, default=250,
-                    help="k-centroids. TPU-adapted default 250 (vs the "
+    ap.add_argument("--kc", type=int, default=125,
+                    help="k-centroids. TPU-adapted default 125 (vs the "
                          "reference's GPU-tuned 1000): organic top-p maps "
                          "select SCATTERED clusters, and on TPU every run "
                          "pays a full block_kv chunk — coarser clusters "
@@ -64,9 +64,20 @@ def main():
                          "selected mass per cluster, higher recall). Sweep "
                          "(probe_organic_bkv.py, u=1 warm): kc=1000 8.18 s "
                          "@d=0.183, 500 5.67 @0.207, 250 4.63 @0.236, 125 "
-                         "4.57 @0.271, 50 4.29 @0.326. Use 1000 to measure "
-                         "the reference config.")
+                         "4.57 @0.271, 50 4.29 @0.326. In tile mode kc only "
+                         "shapes the pre-tiling seriation: kc=125 beat 250 "
+                         "(3.91 vs 4.06 s @ bq=512, gain 2.0). Use 1000 to "
+                         "measure the reference config.")
     ap.add_argument("--qc", type=int, default=300)
+    ap.add_argument("--sap_bq", type=int, default=512,
+                    help="SAP block_q (= q tile grain in tile mode). 512 is "
+                         "the measured optimum: at bq=256 the kernel is "
+                         "KV-DMA-re-read-bound (each q block re-reads its "
+                         "selected chunks) and qsplit/pair variants all "
+                         "regress; 512 doubles per-chunk MXU work at the "
+                         "same DMA volume (slope 3.81 vs 5.07 s/unit-"
+                         "density); 1024 dilutes the q-side selection "
+                         "(density 0.578 vs 0.528)")
     ap.add_argument("--sap_bkv", type=int, default=512,
                     help="SAP block_kv; 512 is the fragmented-regime "
                          "optimum (1024 wins only on contiguous/forced maps)")
@@ -80,12 +91,15 @@ def main():
                          "@ d=0.50 vs cluster 0.759x @ d=0.27 (same top_p; "
                          "tile processes MORE true attention mass per "
                          "second — NOTES_ROUND4.md session 3)")
-    ap.add_argument("--organic_gain", type=float, default=2.0,
-                    help="q-norm gain for --organic; calibrated on TPU "
-                         "(scripts/probe_organic_gain.py: 1.0 -> density "
-                         "0.58, 1.5 -> 0.35, 2.0 -> 0.18 [0.13-0.28 per "
-                         "head], >=3 -> min_kc floor 0.10); 2.0 lands in "
-                         "the reference telemetry band 0.1-0.3")
+    ap.add_argument("--organic_gain", type=float, default=3.0,
+                    help="q-norm gain for --organic; calibrated on TPU so "
+                         "the density of the selection granularity actually "
+                         "benched lands mid-telemetry-band (reference "
+                         "telemetry 0.1-0.3): tile-mode maps at gain 3.0 "
+                         "measure 0.303 (cluster-granularity maps land at "
+                         "the min_kc floor 0.10-0.13; gain 2.0 puts "
+                         "clusters at 0.18-0.21 but tiles at 0.47-0.53, "
+                         "above band)")
     ap.add_argument("--smooth", type=int, nargs=3, default=[3, 6, 6],
                     help="latent correlation lengths (F, H, W) for --organic")
     ap.add_argument("--budget", type=float, default=0,
@@ -124,6 +138,7 @@ def main():
     warm_sap = WarmupSchedule.from_fractions(SAP_LFP, SAP_TFP, base.num_layers, timesteps)
     plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25, num_sampled_rows=64), warm_svg)
     sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
+                        block_q=args.sap_bq,
                         top_p_kmeans=0.9, min_kc_ratio=0.10,
                         kmeans_iter_init=50, kmeans_iter_step=2,
                         block_kv=args.sap_bkv, block_mode=args.sap_block_mode,

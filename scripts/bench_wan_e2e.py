@@ -97,9 +97,12 @@ def main():
     # kc=250/block_kv=512 is the TPU-adapted SAP config (same top_p
     # semantics, coarser clusters coalesce the scattered organic runs —
     # rationale and sweep in scripts/bench_wan14b.py --kc).
-    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=250, top_p_kmeans=0.9,
+    # kc=125/bq=512/bkv=512 is the TPU tile-mode optimum measured on the
+    # 14B geometry (bench_wan14b.py --kc/--sap_bq rationale); cluster-mode
+    # runs keep the same knobs for comparability
+    sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=125, top_p_kmeans=0.9,
                         min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
-                        block_kv=512, block_mode=args.sap_block_mode,
+                        block_q=512, block_kv=512, block_mode=args.sap_block_mode,
                         force_density=None if args.organic else 0.25)
 
     params = WM.init_wan_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)

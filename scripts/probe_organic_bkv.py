@@ -51,8 +51,9 @@ F, H, W = 21, 90, 160
 layout = VideoLayout(num_frames=F, frame_size=(H // 2) * (W // 2))
 plan = make_svg1_plan(layout, SVGConfig(sparsity=0.25), WarmupSchedule())
 cfg_r = dataclasses.replace(base, num_layers=UNIT)
+GAIN = float(os.environ.get("ORGANIC_GAIN", "2.0"))
 params = align_self_attn_qk(
-    WM.init_wan_params(jax.random.PRNGKey(0), cfg_r, dtype=jnp.bfloat16), gain=2.0)
+    WM.init_wan_params(jax.random.PRNGKey(0), cfg_r, dtype=jnp.bfloat16), gain=GAIN)
 params["blocks"] = quantize_linears_int8(params["blocks"])
 x = smooth_latents(jax.random.PRNGKey(1), (1, base.in_dim, F, H, W), (3, 6, 6))
 ctx = jax.random.normal(jax.random.PRNGKey(2), (1, base.text_len, base.text_dim), jnp.bfloat16)
@@ -77,4 +78,4 @@ for bq, bkv, rel, kc, mode, grain, top_p, qs in pairs:
     d = float(np.mean(np.asarray(s1.last_density, np.float64)))
     t = measure_fenced(lambda: fwd(params, x, ctx, s1, consts)[0], iters=2, warmup=1)
     print(f"bq={bq} bkv={bkv} relabel={rel} kc={kc} mode={mode} grain={grain or bkv} "
-          f"p={top_p} qs={qs or 1}: warm u=1 {t:.2f} s (density {d:.3f})", flush=True)
+          f"p={top_p} qs={qs or 1} gain={GAIN}: warm u=1 {t:.2f} s (density {d:.3f})", flush=True)

@@ -94,13 +94,15 @@ def main():
     common = dict(height=H, width=W, num_frames=F,
                   num_inference_steps=args.steps, seed=0)
     svg = SVGConfig(sparsity=0.25, num_sampled_rows=64)
-    # TPU-adapted SAP config (bench_wan14b.py --kc rationale): kc=250 coarser
-    # clusters at the same top_p=0.9 — per-cluster selected mass can only go
-    # up, so recall >= the reference kc=1000 config; this is the config the
-    # benches recommend, so it is the one whose quality gets evidenced
+    # TPU-adapted SAP config (bench_wan14b.py --kc/--sap_bq rationale):
+    # tile mode, kc=125 pre-tiling seriation, bq/bkv=512 — the exact config
+    # the benches recommend, so it is the one whose quality gets evidenced.
+    # Coarser selection granularity at the same top_p=0.9 can only raise
+    # per-block selected mass, so recall >= the reference kc=1000 config
     sap = SAPConfig(num_q_centroids=300 if not args.smoke else 8,
-                    num_k_centroids=250 if not args.smoke else 12,
-                    top_p_kmeans=0.9, min_kc_ratio=0.10, block_kv=512,
+                    num_k_centroids=125 if not args.smoke else 12,
+                    top_p_kmeans=0.9, min_kc_ratio=0.10,
+                    block_q=512 if not args.smoke else 64, block_kv=512,
                     kmeans_iter_init=50 if not args.smoke else 4,
                     kmeans_iter_step=2, block_mode=args.sap_block_mode)
 

@@ -73,6 +73,12 @@ def sap_ring_attention(
     assert not (layout.text_position == TextPosition.LAST and layout.context_length > 0), (
         "ring SAP supports video-only self-attention layouts"
     )
+    assert cfg.block_mode == "cluster", (
+        "ring SAP implements cluster-granularity selection only; tile mode "
+        "is a single-chip layout optimization (shard-local tile offsets "
+        "would diverge across the ring) — use block_mode='cluster' under "
+        "sequence parallelism"
+    )
     n = mesh.shape[axis]
     B, H, S, D = q.shape
     Sl = S // n
