@@ -220,7 +220,13 @@ def main():
                             kmeans_iter_init=50, kmeans_iter_step=2,
                             block_q=args.sap_block_q, block_kv=args.sap_bkv,
                             block_mode=args.sap_block_mode,
-                            max_runs=min(256, args.kc + 2),
+                            # tile mode: metadata rows hold up to one run per
+                            # KV *tile* (ceil(video_length / sap_bkv) ~ 233 at
+                            # 720p) regardless of --kc — deriving the cap from
+                            # kc would silently truncate runs and drop
+                            # attention mass. None = exact cap.
+                            max_runs=(None if args.sap_block_mode == "tile"
+                                      else min(256, args.kc + 2)),
                             force_density=None if args.organic else 0.25)
         sap_rt = SAPRuntime(plan, sap_cfg,
                             WarmupSchedule(first_layers=0, first_times=1001.0))

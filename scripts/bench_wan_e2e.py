@@ -58,10 +58,12 @@ def main():
                          "PC1-seriated k-means order — the organic-density "
                          "TPU mode (see bench_wan14b.py --sap_block_mode)")
     ap.add_argument("--organic_gain", type=float, default=3.0,
-                    help="1.3B needs a sharper gain than the 14B's 2.0: at "
-                         "gain 2.0 the measured density was 0.40 (above the "
-                         "telemetry band); the min_kc floor makes high gains "
-                         "safe and the measured density is reported either way")
+                    help="q-norm gain for --organic (same 3.0 default as the "
+                         "14B tile-mode bench): gain 2.0 left measured "
+                         "density at ~0.40-0.53, above the reference "
+                         "telemetry band (0.1-0.3); the min_kc floor makes "
+                         "high gains safe and the measured density is "
+                         "reported either way")
     args = ap.parse_args()
     t_start = time.monotonic()
 

@@ -367,12 +367,12 @@ def sap_sparse_attention(
     # coalesces); pc1 for tile mode (tiles live in the PC1-seriated order,
     # so a locality-preserving order merges adjacent selected tiles into
     # long runs — measured -10% vs popularity on wan-14B organic maps).
-    # The CSR fast path (tile mode, no text tail) skips relabeling: its
-    # chunk metadata is offset-derived from fixed grain boundaries, so the
-    # KV order must stay the tile_quantize order (the one partial tile has
-    # the largest id and sorts last, keeping every tile boundary a grain
-    # multiple) — and run coalescing buys the chunk walk nothing anyway.
-    use_csr = tile_mode and not text_last
+    # The CSR fast path (tile mode) skips relabeling: its chunk metadata is
+    # offset-derived from fixed grain boundaries, so the KV order must stay
+    # the tile_quantize order (the one partial tile has the largest id and
+    # sorts last; text-last layouts get a grain-aligned padded layout below)
+    # — and run coalescing buys the chunk walk nothing anyway.
+    use_csr = tile_mode
     if use_csr:
         dyn_f = dyn.reshape(BH, QC, KC)
     else:
@@ -406,9 +406,41 @@ def sap_sparse_attention(
     iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
     _, kperm = jax.lax.sort_key_val(klab, iota, dimension=-1)
     kv = core_permute.flat_row_gather(pack_kv(kf, vf), kperm)
-    sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
-    if sk_pad != S:
-        kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
+    if use_csr and text_last:
+        # Grain-aligned CSR layout for text-last (HunyuanVideo):
+        #   [video tiles | pad to KC*grain | prompt | pad | fake | pad]
+        # Only the LAST video tile is partial, so the sorted video region is
+        # already tile-contiguous — zero-padding it to n_video_kc * grain
+        # keeps every tile boundary a grain multiple; prompt and fake text
+        # become two trailing "tiles" each padded to a 128-token sub-block
+        # boundary. Padding slots never reach softmax: the per-sub-block
+        # valid counts below exclude them from every chunk window.
+        pl_t = layout.prompt_length
+        ul_t = layout.context_length - pl_t
+        n_video_kc = KC - 2
+        n_video_pad = n_video_kc * kv_grain
+        pl_pad = -(-pl_t // MD.SUB) * MD.SUB
+        ul_pad = -(-ul_t // MD.SUB) * MD.SUB
+        sk_pad = max(n_video_pad + pl_pad + ul_pad, bkv)
+        Z = jnp.zeros((BH, 1, kv.shape[-1]), kv.dtype)
+        pad_to = lambda seg, L: (
+            jnp.concatenate(
+                [seg, jnp.broadcast_to(Z, (BH, L - seg.shape[1], kv.shape[-1]))], axis=1
+            ) if L > seg.shape[1] else seg
+        )
+        kv = jnp.concatenate(
+            [
+                pad_to(kv[:, :vl], n_video_pad),
+                pad_to(kv[:, vl : vl + pl_t], pl_pad),
+                pad_to(kv[:, vl + pl_t :], ul_pad),
+            ],
+            axis=1,
+        )
+        kv = pad_to(kv, sk_pad)
+    else:
+        sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
+        if sk_pad != S:
+            kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
 
     # 5. per-(head, q-cluster) kernel metadata, expanded to q blocks
     if use_csr:
@@ -422,20 +454,60 @@ def sap_sparse_attention(
         # (measured, NOTES_ROUND4.md session 3): the runs kernel costs
         # ~2.3x the dense-class kernel per processed chunk at wan-14B
         # geometry — for uniform tiles the run-list generality buys nothing.
+        import numpy as _np
+
         nsub = sk_pad // MD.SUB
         subs_per_tile = kv_grain // MD.SUB
-        mask = jnp.repeat(dyn_f, subs_per_tile, axis=-1)
-        if mask.shape[-1] < nsub:  # tiny-S case: sk_pad = block_kv > S
-            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, nsub - mask.shape[-1])))
+        if text_last:
+            # sub-block -> owning cluster map + per-sub-block valid counts,
+            # both static trace-time numpy (the layout is fully static):
+            # video tiles, then the prompt tile (id n_video_kc), then the
+            # fake/padding tile (id n_video_kc + 1)
+            s2c = _np.concatenate(
+                [
+                    _np.repeat(_np.arange(n_video_kc, dtype=_np.int32), subs_per_tile),
+                    _np.full(pl_pad // MD.SUB, n_video_kc, _np.int32),
+                    _np.full(ul_pad // MD.SUB, n_video_kc + 1, _np.int32),
+                ]
+            )
+            counts_np = _np.concatenate(
+                [
+                    MD.kv_counts_for_seq(vl, n_video_pad),
+                    MD.kv_counts_for_seq(pl_t, pl_pad),
+                    MD.kv_counts_for_seq(ul_t, ul_pad),
+                ],
+                axis=-1,
+            )
+            if s2c.shape[0] < nsub:  # tiny-S case: sk_pad = block_kv floor
+                extra = nsub - s2c.shape[0]
+                s2c = _np.concatenate([s2c, _np.zeros(extra, _np.int32)])
+                counts_np = _np.pad(counts_np, ((0, 0), (0, extra)))
+            mask = jnp.take(dyn_f, jnp.asarray(s2c), axis=-1)
+            # padding sub-blocks alias cluster 0 in s2c but their count is 0,
+            # so chunk_meta never emits them
+            cap_extra = -(-pl_pad // bkv) + -(-ul_pad // bkv) + 4
+            kc_tiles = n_video_kc
         else:
-            mask = mask[..., :nsub]
+            mask = jnp.repeat(dyn_f, subs_per_tile, axis=-1)
+            if mask.shape[-1] < nsub:  # tiny-S case: sk_pad = block_kv > S
+                mask = jnp.pad(mask, ((0, 0), (0, 0), (0, nsub - mask.shape[-1])))
+            else:
+                mask = mask[..., :nsub]
+            counts_np = MD.kv_counts_for_seq(S, sk_pad)
+            cap_extra = 2
+            kc_tiles = KC
         counts = jnp.broadcast_to(
-            jnp.asarray(MD.kv_counts_for_seq(S, sk_pad), jnp.int32), (BH, nsub)
+            jnp.asarray(counts_np, jnp.int32), (BH, nsub)
         )  # kv_counts_for_seq already carries a leading broadcast axis
-        # worst case: a run of L consecutive selected tiles (grain <= bkv)
-        # takes ceil(L * grain / bkv) <= L chunks, so <= KC chunks per row
-        # (+2 margin for the partial tail sub-block breaking a run)
-        cap_csr = min(nsub, KC + 2)
+        # worst case: a run of L consecutive selected tiles takes
+        # ceil(L * grain / bkv) <= L * ceil(grain / bkv) chunks, so
+        # kc_tiles * ceil(grain / bkv) bounds the video region of any row
+        # (the factor is 1 whenever grain <= bkv; with grain > bkv each tile
+        # alone needs several chunks — a KC+2 cap silently truncated
+        # attention there). cap_extra covers the text tiles' own chunks plus
+        # margin for partial tail sub-blocks breaking runs. nsub is an
+        # absolute bound: chunks cover disjoint sub-block spans.
+        cap_csr = min(nsub, kc_tiles * (-(-kv_grain // bkv)) + cap_extra)
         meta_c = MD.chunk_meta_jnp(mask, counts, block_kv=bkv, cap=cap_csr)
     else:
         # run-list metadata: variable cluster sizes need token-window runs

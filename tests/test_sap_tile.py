@@ -58,12 +58,15 @@ def _mk_cfg(**kw):
 import pytest
 
 
-@pytest.mark.parametrize("grain,bkv", [(None, 128), (128, 256)])
+@pytest.mark.parametrize("grain,bkv", [(None, 128), (128, 256), (256, 128)])
 def test_tile_full_density_equals_dense_tiny(grain, bkv):
     """top_p=1 selects every tile pair -> exact dense attention (fast gate
     version of the slow fuzz; S deliberately not a tile multiple). The
     second case decouples the selection grain (128) from the kernel chunk
-    (block_kv=256): adjacent selected tiles must merge into runs exactly."""
+    (block_kv=256): adjacent selected tiles must merge into runs exactly.
+    The third (grain > block_kv) needs ceil(grain/bkv) chunks per tile —
+    regression for the round-4 cap that truncated chunk metadata to KC+2
+    rows and silently dropped attended KV (advisor finding)."""
     H, S, D = 2, 5 * 67, 32
     layout = VideoLayout(num_frames=5, frame_size=67)
     cfg = _mk_cfg(tile_grain=grain, block_kv=bkv)
@@ -124,12 +127,15 @@ def test_tile_forced_prefix_matches_masked_oracle():
     np.testing.assert_allclose(np.asarray(density), kcn / KC, atol=1e-6)
 
 
-def test_tile_topp_subset_matches_token_oracle():
+@pytest.mark.parametrize("bkv,grain", [(256, 128), (128, 256)])
+def test_tile_topp_subset_matches_token_oracle(bkv, grain):
     """On genuinely clustered data with top_p < 1, tile mode selects a real
     subset (density in (0,1)) and the output EXACTLY equals masked dense
     attention over the token-level mask implied by the tile dynamic map
     (mask[i, j] = dyn[q_tile(i), kv_tile(j)]) — the tile analog of the
-    reference's variable-block exactness."""
+    reference's variable-block exactness. The grain > block_kv case is the
+    advisor-verified round-4 truncation repro (scattered selection, each
+    tile needing ceil(grain/bkv) chunks)."""
     from sparse_videogen_tpu.core.dynamic_map import identify_dynamic_map
 
     rng = np.random.default_rng(11)
@@ -142,7 +148,7 @@ def test_tile_topp_subset_matches_token_oracle():
     k = jnp.asarray(q)
     v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
     cfg = _mk_cfg(num_q_centroids=5, num_k_centroids=5, top_p_kmeans=0.85,
-                  min_kc_ratio=0.0, block_q=32, block_kv=256, tile_grain=128)
+                  min_kc_ratio=0.0, block_q=32, block_kv=bkv, tile_grain=grain)
     state = init_sap_state(B * H, D, cfg, dtype=jnp.float32)
     ks = jax.random.PRNGKey(0)
     out, st2, density = sap_sparse_attention(
@@ -173,6 +179,67 @@ def test_tile_topp_subset_matches_token_oracle():
     outs = []
     for b in range(B * H):
         mask = dyn_f[b][qlab_n[b]][:, klab_n[b]]  # (S, S) token-level
+        logits = qn[b] @ kn[b].T / np.sqrt(D)
+        logits = np.where(mask, logits, -np.inf)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        outs.append(p @ vn[b])
+    oracle = np.stack(outs).reshape(B, H, S, D)
+    rel = np.abs(np.asarray(out) - oracle).max() / np.abs(oracle).max()
+    assert rel < 3e-5, rel
+
+
+def test_tile_topp_text_last_matches_token_oracle():
+    """Text-last (HunyuanVideo) tile mode with a REAL top-p subset: the CSR
+    grain-aligned layout (video tiles padded to KC*grain, prompt + fake as
+    trailing sub-block-aligned tiles) must exactly reproduce masked dense
+    attention over the token mask implied by the extended tile dynamic map
+    (reference post-processing semantics: hyvideo/attention.py:657-702)."""
+    from sparse_videogen_tpu.core.dynamic_map import identify_dynamic_map
+
+    rng = np.random.default_rng(23)
+    B, H, D = 1, 2, 48
+    layout = VideoLayout(num_frames=4, frame_size=96, context_length=45,
+                         text_position="last", prompt_length=17)
+    S, vl = layout.seq_len, layout.video_length
+    centers = rng.standard_normal((5, D)) * 3
+    qk = centers[rng.integers(0, 5, S)] + 0.2 * rng.standard_normal((S, D))
+    q = jnp.asarray(np.broadcast_to(qk, (B, H, S, D)).copy(), jnp.float32)
+    k = jnp.asarray(q)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cfg = _mk_cfg(num_q_centroids=5, num_k_centroids=5, top_p_kmeans=0.85,
+                  min_kc_ratio=0.0, block_q=32, block_kv=128)
+    state = init_sap_state(B * H, D, cfg, dtype=jnp.float32)
+    ks = jax.random.PRNGKey(0)
+    out, _, density = sap_sparse_attention(
+        q, k, v, state, ks, layout=layout, cfg=cfg, with_density=True)
+    d = float(np.mean(np.asarray(density)))
+    assert 0.05 < d < 0.95, d
+
+    # re-derive tile labels + extended dynamic map exactly as the pipeline
+    qf = q.reshape(B * H, S, D)[:, :vl]
+    kf = k.reshape(B * H, S, D)[:, :vl]
+    (qlab_c, qcent_c, qsz_c), (klab_c, kcent_c, ksz_c), _ = svg2.sap_cluster(
+        qf, kf, state, cfg, ks)
+    qlab_c = svg2.seriate_labels(qlab_c, qcent_c, qsz_c, cfg.num_q_centroids)
+    klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
+    bq, grain = cfg.block_q, cfg.block_kv
+    QC, KC = -(-vl // bq), -(-vl // grain)
+    qlab, qsz, qcent = tile_quantize(qf, qlab_c, bq, QC)
+    klab, ksz, kcent = tile_quantize(kf, klab_c, grain, KC)
+    dyn = identify_dynamic_map(
+        qcent.reshape(B, H, QC, D), kcent.reshape(B, H, KC, D),
+        qsz.reshape(B, H, QC), ksz.reshape(B, H, KC),
+        cfg.top_p_kmeans, cfg.min_kc_ratio)
+    dyn2, qlab_e, _, klab_e, _ = svg2._extend_text_clusters(
+        dyn.reshape(B * H, QC, KC), qlab, qsz, klab, ksz, layout)
+
+    dyn_n = np.asarray(dyn2)
+    qlab_n, klab_n = np.asarray(qlab_e), np.asarray(klab_e)
+    qn, kn, vn = (np.asarray(t.reshape(B * H, S, D)) for t in (q, k, v))
+    outs = []
+    for b in range(B * H):
+        mask = dyn_n[b][qlab_n[b]][:, klab_n[b]]  # (S, S) token-level
         logits = qn[b] @ kn[b].T / np.sqrt(D)
         logits = np.where(mask, logits, -np.inf)
         p = np.exp(logits - logits.max(-1, keepdims=True))
