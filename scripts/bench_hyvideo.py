@@ -19,8 +19,14 @@ at full sequence length on reduced-DEPTH models, then composed linearly:
     t_step(d, s) = a + d*b_d + s*b_s        (a = embeds/refiner/final/rope)
 
 Block cost is depth-independent under lax.scan (one compiled block body), so
-two depth configs with the full model's 1:2 double:single ratio pin
-(a, b_unit) exactly; the full step is t(u=10) for unit=(2 double, 4 single).
+depth configs with the full model's 1:2 double:single ratio pin (a, b_unit)
+exactly; the full step is t(u=10) for unit=(2 double, 4 single). The
+intercept a (embeds, token refiner, final head, rope tables) is measured
+DIRECTLY as the depth-0 model (u=0) — it is runtime-independent (blocks are
+the only runtime-dependent computation), so one cheap u=0 point anchors
+every runtime's fit and a single u=1 point per runtime already yields an
+honest fresh full-depth composition (the round-4 deadline failure mode was
+needing 2 big cold compiles per runtime before anything composed).
 Both runtimes share the identical quantized linear stream, so the reported
 ratio is apples-to-apples.
 The one warm dense layer inside sparse steps (first_layers = floor(.03*60)
@@ -233,6 +239,20 @@ def main():
     runtimes = {"dense": DenseRuntime(plan, prompt_length=args.prompt_length),
                 "svg1": SVG1Runtime(plan, prompt_length=args.prompt_length)}
 
+    # analytic linear-FLOPs floor for step-level MFU (the PROFILE_r04
+    # method): block linear MACs ~ block params x tokens, x2 FLOP/MAC; the
+    # v5e bf16 peak is 197 TFLOPs (int8 W8A8 runs at 2x that rate, so this
+    # is a conservative floor either way). Attention FLOPs excluded — MFU
+    # here is a cross-round regression scalar, not a utilization claim.
+    n_blk_params_unit = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(
+            {k: params_unit[k] for k in ("double_blocks", "single_blocks")}))
+    PEAK_TFLOPS = 197.0
+
+    def mfu(t_step, u_full):
+        fl = 2.0 * n_blk_params_unit * u_full * layout.seq_len
+        return fl / max(t_step, 1e-9) / (PEAK_TFLOPS * 1e12)
+
     def compose_and_report(results, final):
         """Emit the JSON line; called once after dense+svg1 (so a sap-leg
         hang killed by the driver's subprocess timeout still leaves a
@@ -251,6 +271,8 @@ def main():
             "value": round(speedup, 3), "unit": "x",
             "vs_baseline": round(speedup / REF_E2E, 3),
             "dense_step_s": round(t_dense, 3), "svg1_step_s": round(t_svg, 3),
+            "dense_step_mfu": round(mfu(t_dense, U_FULL), 4),
+            "svg1_step_mfu": round(mfu(t_svg, U_FULL), 4),
         }
         if final:
             print(f"[bench_hyvideo] composed full-depth: dense {t_dense:.2f} s/step, "
@@ -284,26 +306,33 @@ def main():
     times = {"dense": {}, "svg1": {}}
     results = {}
 
+    # measure the runtime-independent intercept DIRECTLY: the depth-0 model
+    # (u=0) is embeds + token refiner + final head + rope only — no blocks,
+    # hence no attention runtime. One cheap compile anchors every fit, so a
+    # single u=1 point per runtime already composes a fresh full-depth
+    # number (deadline-robust: the round-4 driver run died needing two big
+    # cold compiles per runtime before anything composed).
+    cfg0 = dataclasses.replace(base, mm_double_blocks_depth=0, mm_single_blocks_depth=0)
+    t0 = step_time(runtimes["dense"], cfg0, tiled(params_unit, 0))
+    print(f"[bench_hyvideo] u=0 intercept (no blocks): {t0:.2f} s/step "
+          f"[budget rem {rem():.0f}s]", file=sys.stderr)
+
     def refit():
-        """(Re)fit (a, b_unit) per runtime from the points measured so far.
-        With a single point, fall back to dense's fitted intercept: the
-        u-independent overhead (embeds, token refiner, final head, rope) is
-        the same computation in every runtime."""
+        """(Re)fit (a, b_unit) per runtime through the measured u=0 anchor
+        plus the per-runtime points measured so far (least squares with >=2
+        real points; exact 2-point line with 1)."""
         results.clear()
         for name, pts in times.items():
-            if len(pts) >= 2:
-                us = np.asarray(sorted(pts), np.float64)
-                ts = np.asarray([pts[u] for u in sorted(pts)])
-                b, a = np.polyfit(us, ts, 1)
-                resid = float(np.max(np.abs(a + b * us - ts)))
-                print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s, "
-                      f"max fit residual {resid*1e3:.0f} ms", file=sys.stderr)
-                results[name] = {"a": a, "b_unit": b}
-        for name, pts in times.items():
-            if len(pts) == 1 and name != "dense" and "dense" in results:
-                (u, t), = pts.items()
-                a = results["dense"]["a"]
-                results[name] = {"a": a, "b_unit": (t - a) / u, "note": "shared_intercept"}
+            if not pts:
+                continue
+            us = np.asarray([0.0] + sorted(pts), np.float64)
+            ts = np.asarray([t0] + [pts[u] for u in sorted(pts)])
+            b, a = np.polyfit(us, ts, 1)
+            resid = float(np.max(np.abs(a + b * us - ts)))
+            print(f"[bench_hyvideo] {name}: per-unit {b:.2f} s, overhead {a:.2f} s "
+                  f"(u0 anchor {t0:.2f}), max fit residual {resid*1e3:.0f} ms",
+                  file=sys.stderr)
+            results[name] = {"a": a, "b_unit": b}
 
     # interleaved (dense u, svg1 u) measurement order: a budget bail-out at
     # any point leaves the most composable set, and a JSON snapshot is
@@ -352,16 +381,12 @@ def main():
                 ts_cold.append(tc)
                 ts_warm.append(tw)
                 us_done.append(u)
-            if len(us_done) >= 2:
-                us = np.asarray(us_done, np.float64)
-                b, a = np.polyfit(us, np.asarray(ts_warm), 1)
-                bc, ac = np.polyfit(us, np.asarray(ts_cold), 1)
+            if us_done:
+                # anchored at the measured u=0 intercept like every runtime
+                us = np.asarray([0.0] + us_done, np.float64)
+                b, a = np.polyfit(us, np.asarray([t0] + ts_warm), 1)
+                bc, ac = np.polyfit(us, np.asarray([t0] + ts_cold), 1)
                 results["sap"] = {"a": a, "b_unit": b, "a_cold": ac, "b_cold": bc}
-            elif len(us_done) == 1:
-                a = results["dense"]["a"]
-                results["sap"] = {"a": a, "b_unit": (ts_warm[0] - a) / us_done[0],
-                                  "a_cold": a, "b_cold": (ts_cold[0] - a) / us_done[0],
-                                  "note": "shared_intercept"}
         except Exception as e:
             print(f"[bench_hyvideo] sap leg failed ({e!r}); reporting dense/svg1 only",
                   file=sys.stderr)

@@ -218,11 +218,20 @@ def main():
     e2e_dense = NUM_STEPS * 2 * t_dense
     e2e_svg = 2 * (n_warm_svg * t_dense + (NUM_STEPS - n_warm_svg) * t_svg)
     svg_speedup = e2e_dense / e2e_svg
+    # analytic linear-FLOPs floor MFU (PROFILE_r04 method): 2 FLOP/MAC x
+    # block params x tokens per forward, against the v5e bf16 peak (197
+    # TFLOPs; int8 W8A8 runs 2x that rate, so this is conservative).
+    # Cross-round regression scalar, not a utilization claim.
+    n_blk_params_unit = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(params_unit["blocks"]))
+    fl_fwd = 2.0 * n_blk_params_unit * (base.num_layers // UNIT) * layout.seq_len
+    mfu = lambda t_fwd: round(fl_fwd / max(t_fwd, 1e-9) / 197e12, 4)
     out = {
         "metric": "wan14b_720p_svg1_e2e_speedup",
         "value": round(svg_speedup, 3), "unit": "x",
         "vs_baseline": round(svg_speedup / REF_SVG, 3),
         "dense_step_s": round(2 * t_dense, 3), "svg1_step_s": round(2 * t_svg, 3),
+        "dense_step_mfu": mfu(t_dense), "svg1_step_mfu": mfu(t_svg),
     }
     # partial snapshot before the SAP legs (driver takes the LAST JSON line)
     print(json.dumps(out), flush=True)

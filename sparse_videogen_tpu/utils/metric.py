@@ -124,17 +124,27 @@ def main(argv=None):
         from sparse_videogen_tpu.utils.perceptual import lpips_rf
 
         mean["lpips_rf"] = lpips_rf(a[:t], b[:t])
-    try:  # optional true LPIPS, as in the reference
-        import lpips  # noqa: F401
-        import torch
+        # true LPIPS(alex) when local weights are supplied
+        # ($SVT_LPIPS_WEIGHTS or <repo>/weights/lpips_alex.npz): exact
+        # AlexNet-LPIPS forward in JAX — absolutely comparable with the
+        # reference's lpips-package numbers (utils/lpips_jax.py)
+        from sparse_videogen_tpu.utils.lpips_jax import load_lpips_weights, lpips_alex
 
-        net = lpips.LPIPS(net="alex")
-        ta = torch.tensor(a[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
-        tb = torch.tensor(b[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
-        with torch.no_grad():
-            mean["lpips"] = float(net(ta, tb).mean())
-    except ImportError:
-        pass
+        w = load_lpips_weights()
+        if w is not None:
+            mean["lpips"] = lpips_alex(a[:t], b[:t], w)
+    if "lpips" not in mean:
+        try:  # optional true LPIPS via the reference's own package, if present
+            import lpips  # noqa: F401
+            import torch
+
+            net = lpips.LPIPS(net="alex")
+            ta = torch.tensor(a[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
+            tb = torch.tensor(b[:t].transpose(0, 3, 1, 2) * 2 - 1, dtype=torch.float32)
+            with torch.no_grad():
+                mean["lpips"] = float(net(ta, tb).mean())
+        except ImportError:
+            pass
     print(json.dumps({"mean": mean}))
     if args.output_jsonl:
         write_jsonl(args.output_jsonl, frames, mean)

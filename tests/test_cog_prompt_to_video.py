@@ -63,6 +63,7 @@ def model_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.pipeline_smoke
 def test_cog_cli_image_to_video(model_dir, tmp_path):
     from sparse_videogen_tpu.cli import cog_i2v
 

@@ -62,6 +62,7 @@ def model_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.pipeline_smoke
 def test_cosmos_cli_prompt_to_video(model_dir, tmp_path):
     from sparse_videogen_tpu.cli import cosmos_t2v
 

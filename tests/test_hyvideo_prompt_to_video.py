@@ -199,6 +199,7 @@ def model_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.pipeline_smoke
 def test_hyvideo_cli_prompt_to_video(model_dir, tmp_path):
     from sparse_videogen_tpu.cli import hyvideo_t2v
 

