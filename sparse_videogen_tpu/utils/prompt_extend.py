@@ -110,38 +110,80 @@ class LocalLLMPromptExpander(PromptExpander):
 
 
 class DashScopePromptExpander(PromptExpander):
-    """qwen-plus / qwen-vl-max via the DashScope API (network + key needed;
-    reference prompt_extend.py:159-287)."""
+    """qwen-plus / qwen-vl-max via the DashScope REST API
+    (reference prompt_extend.py:159-287).
+
+    Dependency-free: when the `dashscope` package is installed it is used
+    (bit-faithful to the reference); otherwise the same endpoint is called
+    directly over HTTPS with the standard payload — the network round trip
+    is the only part that needs connectivity, and it happens at CALL time
+    (construction only needs a key, from `api_key` or $DASHSCOPE_API_KEY).
+    `build_request` is pure and unit-testable offline."""
+
+    _URL = ("https://dashscope.aliyuncs.com/api/v1/services/aigc/"
+            "text-generation/generation")
+    _URL_VL = ("https://dashscope.aliyuncs.com/api/v1/services/aigc/"
+               "multimodal-generation/generation")
 
     def __init__(self, api_key=None, model_name=None, is_vl=False, retry_times=4, **kwargs):
+        import os
+
         model_name = model_name or ("qwen-vl-max" if is_vl else "qwen-plus")
         super().__init__(model_name=model_name, is_vl=is_vl, **kwargs)
-        try:
-            import dashscope  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "DashScopePromptExpander needs the `dashscope` package and "
-                "network access; use LocalLLMPromptExpander or pass "
-                "--no-prompt-extend"
-            ) from e
-        import dashscope
-
-        if api_key is not None:
-            dashscope.api_key = api_key
+        self.api_key = api_key or os.environ.get("DASHSCOPE_API_KEY")
+        if not self.api_key:
+            raise ValueError(
+                "DashScopePromptExpander needs an API key (api_key= or "
+                "$DASHSCOPE_API_KEY) and network access; use "
+                "JaxQwenPromptExpander / LocalLLMPromptExpander offline")
         self.retry_times = retry_times
+        try:
+            import dashscope
+
+            dashscope.api_key = self.api_key
+            self._dashscope = dashscope
+        except ImportError:
+            self._dashscope = None
+
+    def build_request(self, messages):
+        """(url, headers, json-payload bytes) for one chat call — pure."""
+        import json as _json
+
+        url = self._URL_VL if self.is_vl else self._URL
+        headers = {"Authorization": f"Bearer {self.api_key}",
+                   "Content-Type": "application/json"}
+        payload = {"model": self.model_name,
+                   "input": {"messages": messages},
+                   "parameters": {"result_format": "message"}}
+        return url, headers, _json.dumps(payload).encode()
+
+    def _http_chat(self, messages):
+        import json as _json
+        import urllib.request
+
+        url, headers, data = self.build_request(messages)
+        req = urllib.request.Request(url, data=data, headers=headers)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = _json.loads(r.read())
+        choice = resp["output"]["choices"][0]["message"]["content"]
+        # VL responses wrap content in a list of typed parts
+        if isinstance(choice, list):
+            choice = "".join(p.get("text", "") for p in choice)
+        return choice
 
     def _chat(self, messages):
-        import dashscope
-
         exc = None
         for _ in range(self.retry_times):
             try:
-                resp = dashscope.Generation.call(
-                    self.model_name, messages=messages, result_format="message"
-                )
-                if resp.status_code == 200:
-                    return resp.output.choices[0].message.content
-                exc = RuntimeError(f"dashscope {resp.status_code}: {resp.message}")
+                if self._dashscope is not None:
+                    resp = self._dashscope.Generation.call(
+                        self.model_name, messages=messages, result_format="message"
+                    )
+                    if resp.status_code == 200:
+                        return resp.output.choices[0].message.content
+                    exc = RuntimeError(f"dashscope {resp.status_code}: {resp.message}")
+                else:
+                    return self._http_chat(messages)
             except Exception as e:  # transient API failures
                 exc = e
         raise exc
@@ -155,7 +197,17 @@ class DashScopePromptExpander(PromptExpander):
         except Exception as e:
             return PromptOutput(False, prompt, seed, system_prompt, str(e))
 
-    extend_with_img = extend  # image content handled by the VL model server-side
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1, **kwargs) -> PromptOutput:
+        # VL endpoint takes typed content parts; `image` is a URL or file
+        # path string (the reference uploads local files the same way)
+        user = ([{"image": image}] if isinstance(image, str) else []) + [{"text": prompt}]
+        messages = [{"role": "system", "content": [{"text": system_prompt}]},
+                    {"role": "user", "content": user}]
+        try:
+            out = self._chat(messages)
+            return PromptOutput(True, out.strip(), seed, system_prompt, "")
+        except Exception as e:
+            return PromptOutput(False, prompt, seed, system_prompt, str(e))
 
 
 class JaxQwenPromptExpander(PromptExpander):

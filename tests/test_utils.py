@@ -201,6 +201,57 @@ def test_prompt_expander_local_backend():
     assert not out3.status and out3.prompt == "a cat" and "backend down" in out3.message
 
 
+def test_dashscope_expander_offline(monkeypatch):
+    """The REST DashScope backend without the dashscope package: request
+    construction is pure/offline-testable; the network call is mocked; a
+    failing call returns the reference's failure envelope (original prompt,
+    status False)."""
+    import json
+
+    from sparse_videogen_tpu.utils import prompt_extend as PE
+
+    monkeypatch.delenv("DASHSCOPE_API_KEY", raising=False)
+    with pytest.raises(ValueError):
+        PE.DashScopePromptExpander()  # no key anywhere
+
+    pe = PE.DashScopePromptExpander(api_key="sk-test")
+    url, headers, data = pe.build_request(
+        [{"role": "system", "content": "S"}, {"role": "user", "content": "U"}])
+    assert url.startswith("https://dashscope.aliyuncs.com/")
+    assert headers["Authorization"] == "Bearer sk-test"
+    payload = json.loads(data)
+    assert payload["model"] == "qwen-plus"
+    assert payload["input"]["messages"][1]["content"] == "U"
+    assert payload["parameters"]["result_format"] == "message"
+
+    # mock the HTTP layer -> full call path exercised offline
+    monkeypatch.setattr(pe, "_http_chat",
+                        lambda messages: "rewritten: " + messages[-1]["content"])
+    pe._dashscope = None
+    out = pe("a cat", tar_lang="en", seed=3)
+    assert out.status and out.prompt == "rewritten: a cat" and out.seed == 3
+
+    vl = PE.DashScopePromptExpander(api_key="sk-test", is_vl=True)
+    assert vl.model_name == "qwen-vl-max"
+    url_vl, _, data_vl = vl.build_request([{"role": "user", "content": [{"text": "x"}]}])
+    assert "multimodal" in url_vl
+    seen = {}
+    monkeypatch.setattr(vl, "_http_chat", lambda m: seen.setdefault("m", m) and "ok" or "ok")
+    vl._dashscope = None
+    out_vl = vl("a dog", tar_lang="en", image="https://x/img.png")
+    assert out_vl.status and out_vl.prompt == "ok"
+    assert seen["m"][-1]["content"][0] == {"image": "https://x/img.png"}
+
+    # network down (urlopen unavailable): failure envelope, no raise
+    def boom(messages):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(pe, "_http_chat", boom)
+    pe.retry_times = 2
+    bad = pe("a cat", tar_lang="en")
+    assert not bad.status and bad.prompt == "a cat" and "no egress" in bad.message
+
+
 def test_profiler_trace(tmp_path):
     import glob
     import os
