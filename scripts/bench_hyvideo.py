@@ -67,8 +67,12 @@ def main():
     ap.add_argument("--prompt_length", type=int, default=70)
     ap.add_argument("--no_sap", action="store_true",
                     help="skip the SVG2/SAP runtime (dense + svg1 only)")
-    ap.add_argument("--sap_block_q", type=int, default=128,
-                    help="SAP q block (128 pads ~21%% at qc=400 vs ~43%% at 256)")
+    ap.add_argument("--sap_block_q", type=int, default=None,
+                    help="SAP q block. Default resolves per mode: tile -> 512 "
+                         "(q tiles are exact, no padding at any bq, and the "
+                         "CSR kernel wants big q blocks — the wan-14B sweep "
+                         "optimum), cluster -> 128 (variable cluster sizes "
+                         "pad ~21%% at qc=400 vs ~43%% at 256)")
     ap.add_argument("--budget", type=float, default=0,
                     help="soft wall-clock budget in seconds (0 = unlimited); "
                          "the bench bails out cleanly between measurements "
@@ -79,7 +83,11 @@ def main():
                          "disabled, measured density reported")
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density=0.25 SAP leg")
-    ap.add_argument("--organic_gain", type=float, default=2.0)
+    ap.add_argument("--organic_gain", type=float, default=3.0,
+                    help="q-norm gain for --organic. 3.0 puts TILE-granularity "
+                         "top-p maps mid-telemetry-band (measured here: gain "
+                         "2.0 -> density 0.47, same as wan; the reference's "
+                         "real-video telemetry is 0.1-0.3)")
     ap.add_argument("--kc", type=int, default=250,
                     help="k-centroids. TPU-adapted default (reference 720p "
                          "SVG2 uses 1000, tuned for the GPU variable-block "
@@ -212,6 +220,9 @@ def main():
         t_warm = measure_fenced(lambda: fwd(params_r, x, t_sparse, consts, s1)[0],
                                 iters=args.iters, warmup=1)
         return t_cold, t_warm
+
+    if args.sap_block_q is None:
+        args.sap_block_q = 512 if args.sap_block_mode == "tile" else 128
 
     sap_rt = None
     if not args.no_sap:
