@@ -55,8 +55,10 @@ CACHED = {
                 "sap_density_source": "organic", "sap_block_mode": "tile"},
     "wan": {"value": 1.77, "sap_e2e_speedup": 0.706,
             "sap_density": 0.3994, "sap_density_source": "organic"},
-    "wan14b": {"value": 1.744, "sap_e2e_speedup": 0.759,
-               "sap_density": 0.2688, "sap_density_source": "organic"},
+    "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.093,
+               "sap_density": 0.3309, "sap_density_source": "organic",
+               "sap_config": {"block_mode": "tile"},
+               "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4789},
     "wan_extra": {"value": 1.355, "i2v14b_720p_svg1_e2e_speedup": 1.356},
 }
 
