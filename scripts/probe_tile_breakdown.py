@@ -78,7 +78,7 @@ def tiles_stage(q, k, qlab, qcent, qsz, klab, kcent, ksz):
     return a, b
 
 
-(qlab_t, qsz_t, qcent_t), (klab_t, ksz_t, kcent_t) = t(
+(qlab_t, qsz_t, qcent_t, qperm_t, qrank_t), (klab_t, ksz_t, kcent_t, kperm_t, _) = t(
     "seriate+tile_quantize", tiles_stage, q, k, qlab, qcent, qsz, klab, kcent, ksz)
 
 

@@ -117,7 +117,10 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
 
 def tile_quantize(x, lab, grain: int, n_tiles: int):
     """Re-label tokens into fixed `grain`-token tiles of the cluster-sorted
-    order; return (tile_labels, tile_sizes, tile_centroids).
+    order; return (tile_labels, tile_sizes, tile_centroids, perm, rank)
+    where perm is the sorted order (new -> old) and rank its inverse
+    (old -> new) — tiles slice this order, so the sort IS the tile-mode
+    token permutation and callers reuse it instead of re-sorting.
 
     TPU-first redesign of SVG2's variable-size cluster blocks (SURVEY §7).
     The reference's patched FlashInfer kernel walks variable cluster blocks
@@ -149,7 +152,7 @@ def tile_quantize(x, lab, grain: int, n_tiles: int):
         xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
     xs = xs.reshape(BH, n_tiles, grain, D).astype(jnp.float32)
     cent = jnp.sum(xs, axis=2) / jnp.maximum(sizes[..., None].astype(jnp.float32), 1.0)
-    return tlab, sizes, cent.astype(x.dtype)
+    return tlab, sizes, cent.astype(x.dtype), perm, rank
 
 
 def popularity_relabel(dyn_map, klab, ksz, kcent):
@@ -331,8 +334,8 @@ def sap_sparse_attention(
         assert kv_grain % MD.SUB == 0, (kv_grain, MD.SUB)
         QC = -(-vl // bq)
         KC = -(-vl // kv_grain)
-        qlab, qsz, qcent = tile_quantize(qf[:, :vl], qlab, bq, QC)
-        klab, ksz, kcent = tile_quantize(kf[:, :vl], klab, kv_grain, KC)
+        qlab, qsz, qcent, qperm, qrank = tile_quantize(qf[:, :vl], qlab, bq, QC)
+        klab, ksz, kcent, kperm_t, _ = tile_quantize(kf[:, :vl], klab, kv_grain, KC)
     n_video_qc = QC
 
     # 2. dynamic map (cluster-pair top-p selection)
@@ -386,58 +389,76 @@ def sap_sparse_attention(
         dyn_f, qlab, qsz, klab, ksz = _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout)
         QC, KC = QC + 2, KC + 2
 
-    # 4. permutations. Queries: block-aligned padded permutation (each q block
+    # 4. permutations. Queries: block-aligned padded layout (each q block
     #    maps to exactly one q cluster). Keys/values: UNPADDED cluster-
     #    contiguous sort — no 128-alignment padding (which inflated KV 2.7x at
     #    the reference kc=1000 config); partial-block cluster boundaries are
     #    handled exactly by the run-list metadata windows.
-    if tile_mode:
-        # video q tiles are exactly block_q (except one partial tail tile),
-        # so the padded layout is exact — no worst-case per-cluster slack
-        sq_pad = n_video_qc * bq
+    def pad_rows(seg, L):
+        if L > seg.shape[1]:
+            z = jnp.zeros((BH, 1, seg.shape[-1]), seg.dtype)
+            pad = jnp.broadcast_to(z, (BH, L - seg.shape[1], seg.shape[-1]))
+            return jnp.concatenate([seg, pad], axis=1)
+        return seg
+
+    if use_csr:
+        # Tile fast path: tiles slice the label-sorted order, so the sort
+        # already computed by tile_quantize IS the permutation — q blocks
+        # map to tiles by identity, only the LAST video tile is partial
+        # (padding sits at the region end), and a token's padded position
+        # equals its sorted rank. The whole padded_permutation machinery
+        # (cluster spans, one-hot block tables, scatter-free pos build) and
+        # the second label sorts reduce to one gather per side: measured
+        # q-side 102 -> ~35 ms and kv-side 63 -> ~35 ms per wan-14B layer
+        # (probe_tile_breakdown.py round 5).
+        n_video_pad_q = n_video_qc * bq
+        qp = pad_rows(core_permute.flat_row_gather(qf[:, :vl], qperm), n_video_pad_q)
+        kvp = core_permute.flat_row_gather(pack_kv(kf[:, :vl], vf[:, :vl]), kperm_t)
+        pos = qrank  # video token -> padded position == sorted rank
         if text_last:
+            # Grain-aligned CSR layout:
+            #   q:  [video tiles | prompt | pad | fake | pad]  (block_q units)
+            #   kv: [video tiles | pad to KC*grain | prompt | pad | fake | pad]
+            # prompt/fake are unpermuted slices; padding slots never reach
+            # softmax (per-sub-block valid counts below exclude them).
             pl_t = layout.prompt_length
-            sq_pad += (-(-pl_t // bq) + -(-(layout.context_length - pl_t) // bq)) * bq
+            ul_t = layout.context_length - pl_t
+            pl_qpad = -(-pl_t // bq) * bq
+            ul_qpad = -(-ul_t // bq) * bq
+            sq_pad = n_video_pad_q + pl_qpad + ul_qpad
+            qp = jnp.concatenate(
+                [qp, pad_rows(qf[:, vl : vl + pl_t], pl_qpad),
+                 pad_rows(qf[:, vl + pl_t :], ul_qpad)], axis=1)
+            text_pos = jnp.concatenate(
+                [jnp.arange(pl_t, dtype=jnp.int32) + n_video_pad_q,
+                 jnp.arange(ul_t, dtype=jnp.int32) + n_video_pad_q + pl_qpad])
+            pos = jnp.concatenate(
+                [pos, jnp.broadcast_to(text_pos[None], (BH, pl_t + ul_t))], axis=-1)
+
+            n_video_kc = KC - 2
+            n_video_pad = n_video_kc * kv_grain
+            pl_pad = -(-pl_t // MD.SUB) * MD.SUB
+            ul_pad = -(-ul_t // MD.SUB) * MD.SUB
+            sk_pad = max(n_video_pad + pl_pad + ul_pad, bkv)
+            kv = jnp.concatenate(
+                [pad_rows(kvp, n_video_pad),
+                 pad_rows(pack_kv(kf[:, vl : vl + pl_t], vf[:, vl : vl + pl_t]), pl_pad),
+                 pad_rows(pack_kv(kf[:, vl + pl_t :], vf[:, vl + pl_t :]), ul_pad)],
+                axis=1)
+            kv = pad_rows(kv, sk_pad)
+        else:
+            sq_pad = n_video_pad_q
+            sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
+            kv = pad_rows(kvp, sk_pad)
     else:
         sq_pad = core_permute.padded_seq_len(S, QC, bq)
-    qmaps = core_permute.padded_permutation(qlab, qsz, n_clusters=QC, block=bq, s_pad=sq_pad)
-    qp = core_permute.gather_padded(qf, qmaps["src"])
+        qmaps = core_permute.padded_permutation(qlab, qsz, n_clusters=QC, block=bq, s_pad=sq_pad)
+        qp = core_permute.gather_padded(qf, qmaps["src"])
+        pos = qmaps["pos"]
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
-    _, kperm = jax.lax.sort_key_val(klab, iota, dimension=-1)
-    kv = core_permute.flat_row_gather(pack_kv(kf, vf), kperm)
-    if use_csr and text_last:
-        # Grain-aligned CSR layout for text-last (HunyuanVideo):
-        #   [video tiles | pad to KC*grain | prompt | pad | fake | pad]
-        # Only the LAST video tile is partial, so the sorted video region is
-        # already tile-contiguous — zero-padding it to n_video_kc * grain
-        # keeps every tile boundary a grain multiple; prompt and fake text
-        # become two trailing "tiles" each padded to a 128-token sub-block
-        # boundary. Padding slots never reach softmax: the per-sub-block
-        # valid counts below exclude them from every chunk window.
-        pl_t = layout.prompt_length
-        ul_t = layout.context_length - pl_t
-        n_video_kc = KC - 2
-        n_video_pad = n_video_kc * kv_grain
-        pl_pad = -(-pl_t // MD.SUB) * MD.SUB
-        ul_pad = -(-ul_t // MD.SUB) * MD.SUB
-        sk_pad = max(n_video_pad + pl_pad + ul_pad, bkv)
-        Z = jnp.zeros((BH, 1, kv.shape[-1]), kv.dtype)
-        pad_to = lambda seg, L: (
-            jnp.concatenate(
-                [seg, jnp.broadcast_to(Z, (BH, L - seg.shape[1], kv.shape[-1]))], axis=1
-            ) if L > seg.shape[1] else seg
-        )
-        kv = jnp.concatenate(
-            [
-                pad_to(kv[:, :vl], n_video_pad),
-                pad_to(kv[:, vl : vl + pl_t], pl_pad),
-                pad_to(kv[:, vl + pl_t :], ul_pad),
-            ],
-            axis=1,
-        )
-        kv = pad_to(kv, sk_pad)
-    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BH, S), 1)
+        _, kperm = jax.lax.sort_key_val(klab, iota, dimension=-1)
+        kv = core_permute.flat_row_gather(pack_kv(kf, vf), kperm)
         sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
         if sk_pad != S:
             kv = jnp.pad(kv, ((0, 0), (0, sk_pad - S), (0, 0)))
@@ -515,10 +536,31 @@ def sap_sparse_attention(
         kstarts = jnp.cumsum(jnp.concatenate([zero, ksz[..., :-1]], axis=-1), axis=-1)
         cap = min((cfg.max_runs or KC) + (2 if text_last else 0), KC)
         meta_c = MD.run_meta_jnp(dyn_f, kstarts, ksz, block_kv=bkv, cap=cap)
-    qb_c = qmaps["block_to_cluster"]  # (BH, nQ)
-    meta = jnp.take_along_axis(meta_c, qb_c[..., None], axis=1)  # (BH, nQ, L)
-    qblk_valid = qmaps["kv_counts"] > 0  # (BH, nQ): block holds >=1 real token
-    meta = meta.at[..., 0].set(jnp.where(qblk_valid, meta[..., 0], 0))
+    if use_csr:
+        # q blocks map to clusters by identity (video), then the two text
+        # clusters at static offsets — the expansion is a static-index
+        # gather (free) instead of the per-head dynamic take_along_axis
+        if text_last:
+            import numpy as _np
+
+            qb_np = _np.concatenate(
+                [_np.arange(n_video_qc, dtype=_np.int32),
+                 _np.full(pl_qpad // bq, n_video_qc, _np.int32),
+                 _np.full(ul_qpad // bq, n_video_qc + 1, _np.int32)])
+            valid_np = _np.concatenate(
+                [_np.ones(n_video_qc, bool),
+                 _np.arange(pl_qpad // bq) * bq < pl_t,
+                 _np.arange(ul_qpad // bq) * bq < ul_t])
+            meta = jnp.take(meta_c, jnp.asarray(qb_np), axis=1)
+            meta0 = jnp.where(jnp.asarray(valid_np)[None, :], meta[..., 0], 0)
+            meta = jnp.concatenate([meta0[..., None], meta[..., 1:]], axis=-1)
+        else:
+            meta = meta_c  # blocks ARE the video tiles, all non-empty
+    else:
+        qb_c = qmaps["block_to_cluster"]  # (BH, nQ)
+        meta = jnp.take_along_axis(meta_c, qb_c[..., None], axis=1)  # (BH, nQ, L)
+        qblk_valid = qmaps["kv_counts"] > 0  # (BH, nQ): block holds >=1 real token
+        meta = meta.at[..., 0].set(jnp.where(qblk_valid, meta[..., 0], 0))
 
     # 6. kernel + inverse permutation
     if use_csr:
@@ -531,7 +573,7 @@ def sap_sparse_attention(
             qp, kv, meta, block_q=bq, block_kv=bkv, qsplit=cfg.run_qsplit,
             interpret=interpret,
         )
-    out = core_permute.ungather_padded(out_pad, qmaps["pos"]).reshape(B, H, S, D)
+    out = core_permute.ungather_padded(out_pad, pos).reshape(B, H, S, D)
 
     if with_density:
         return out, new_state, density

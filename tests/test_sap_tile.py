@@ -27,7 +27,7 @@ def test_tile_quantize_partition_properties():
     n_tiles = -(-S // grain)
     lab = jnp.asarray(rng.integers(0, 7, (BH, S)), jnp.int32)
     x = jnp.asarray(rng.standard_normal((BH, S, D)), jnp.float32)
-    tlab, sizes, cent = jax.jit(tile_quantize, static_argnums=(2, 3))(x, lab, grain, n_tiles)
+    tlab, sizes, cent, perm, rank = jax.jit(tile_quantize, static_argnums=(2, 3))(x, lab, grain, n_tiles)
 
     tlab_n, sizes_n, cent_n = np.asarray(tlab), np.asarray(sizes), np.asarray(cent)
     for b in range(BH):
@@ -113,7 +113,7 @@ def test_tile_forced_prefix_matches_masked_oracle():
     kf = k.reshape(B * H, S, D)
     (_, _, _), (klab_c, kcent_c, ksz_c), _ = svg2.sap_cluster(qf, kf, state, cfg, ks)
     klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
-    klab, _, _ = tile_quantize(kf, klab_c, cfg.block_kv, KC)
+    klab, _, _, _, _ = tile_quantize(kf, klab_c, cfg.block_kv, KC)
 
     keep = np.asarray(klab) < kcn  # (BH, S)
     qn, kn, vn = (np.asarray(t).reshape(B * H, S, D) for t in (q, k, v))
@@ -167,8 +167,8 @@ def test_tile_topp_subset_matches_token_oracle(bkv, grain):
     klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
     bq, grain = cfg.block_q, (cfg.tile_grain or cfg.block_kv)
     QC, KC = -(-S // bq), -(-S // grain)
-    qlab, qsz, qcent = tile_quantize(qf, qlab_c, bq, QC)
-    klab, ksz, kcent = tile_quantize(kf, klab_c, grain, KC)
+    qlab, qsz, qcent, _, _ = tile_quantize(qf, qlab_c, bq, QC)
+    klab, ksz, kcent, _, _ = tile_quantize(kf, klab_c, grain, KC)
     dyn = identify_dynamic_map(
         qcent.reshape(B, H, QC, D), kcent.reshape(B, H, KC, D),
         qsz.reshape(B, H, QC), ksz.reshape(B, H, KC),
@@ -225,8 +225,8 @@ def test_tile_topp_text_last_matches_token_oracle():
     klab_c = svg2.seriate_labels(klab_c, kcent_c, ksz_c, cfg.num_k_centroids)
     bq, grain = cfg.block_q, cfg.block_kv
     QC, KC = -(-vl // bq), -(-vl // grain)
-    qlab, qsz, qcent = tile_quantize(qf, qlab_c, bq, QC)
-    klab, ksz, kcent = tile_quantize(kf, klab_c, grain, KC)
+    qlab, qsz, qcent, _, _ = tile_quantize(qf, qlab_c, bq, QC)
+    klab, ksz, kcent, _, _ = tile_quantize(kf, klab_c, grain, KC)
     dyn = identify_dynamic_map(
         qcent.reshape(B, H, QC, D), kcent.reshape(B, H, KC, D),
         qsz.reshape(B, H, QC), ksz.reshape(B, H, KC),
