@@ -49,14 +49,14 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 # leg overwrites its fields with provenance "measured".
 CACHED = {
     "date": "2026-08-19",
-    "hyvideo": {"value": 1.98, "dense_step_s": 83.848, "svg1_step_s": 37.728,
+    "hyvideo": {"value": 1.977, "dense_step_s": 83.819, "svg1_step_s": 37.788,
                 "dense_step_mfu": 0.1797, "svg1_step_mfu": 0.3993,
-                "sap_e2e_speedup": 1.292, "sap_density": 0.385,
+                "sap_e2e_speedup": 1.374, "sap_density": 0.3852,
                 "sap_density_source": "organic", "sap_block_mode": "tile"},
     "wan": {"value": 1.77, "sap_e2e_speedup": 0.706,
             "sap_density": 0.3994, "sap_density_source": "organic"},
-    "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.093,
-               "sap_density": 0.3309, "sap_density_source": "organic",
+    "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.172,
+               "sap_density": 0.3311, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
                "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4789},
     "wan_extra": {"value": 1.355, "i2v14b_720p_svg1_e2e_speedup": 1.356},
