@@ -53,8 +53,9 @@ CACHED = {
                 "dense_step_mfu": 0.1797, "svg1_step_mfu": 0.3993,
                 "sap_e2e_speedup": 1.374, "sap_density": 0.3852,
                 "sap_density_source": "organic", "sap_block_mode": "tile"},
-    "wan": {"value": 1.77, "sap_e2e_speedup": 0.706,
-            "sap_density": 0.3994, "sap_density_source": "organic"},
+    "wan": {"value": 1.764, "sap_e2e_speedup": 1.093, "dense_step_s": 17.767,
+            "sap_density": 0.4301, "sap_density_source": "organic",
+            "sap_config": {"block_mode": "tile"}},
     "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.172,
                "sap_density": 0.3311, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
