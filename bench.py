@@ -49,18 +49,18 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 # leg overwrites its fields with provenance "measured".
 CACHED = {
     "date": "2026-08-19",
-    "hyvideo": {"value": 1.977, "dense_step_s": 83.819, "svg1_step_s": 37.788,
+    "hyvideo": {"value": 1.981, "dense_step_s": 83.767, "svg1_step_s": 37.682,
                 "dense_step_mfu": 0.1797, "svg1_step_mfu": 0.3993,
-                "sap_e2e_speedup": 1.374, "sap_density": 0.3852,
+                "sap_e2e_speedup": 1.514, "sap_density": 0.3097,
                 "sap_density_source": "organic", "sap_block_mode": "tile"},
-    "wan": {"value": 1.764, "sap_e2e_speedup": 1.093, "dense_step_s": 17.767,
-            "sap_density": 0.4301, "sap_density_source": "organic",
+    "wan": {"value": 1.769, "sap_e2e_speedup": 1.235, "dense_step_s": 17.772,
+            "sap_density": 0.2921, "sap_density_source": "organic",
             "sap_config": {"block_mode": "tile"}},
     "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.172,
                "sap_density": 0.3311, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
                "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4789},
-    "wan_extra": {"value": 1.355, "i2v14b_720p_svg1_e2e_speedup": 1.356},
+    "wan_extra": {"value": 1.357, "i2v14b_720p_svg1_e2e_speedup": 1.353},
 }
 
 

@@ -83,11 +83,11 @@ def main():
                          "disabled, measured density reported")
     ap.add_argument("--pinned", dest="organic", action="store_false",
                     help="legacy force_density=0.25 SAP leg")
-    ap.add_argument("--organic_gain", type=float, default=3.0,
-                    help="q-norm gain for --organic. 3.0 puts TILE-granularity "
-                         "top-p maps mid-telemetry-band (measured here: gain "
-                         "2.0 -> density 0.47, same as wan; the reference's "
-                         "real-video telemetry is 0.1-0.3)")
+    ap.add_argument("--organic_gain", type=float, default=3.5,
+                    help="q-norm gain for --organic, calibrated so the "
+                         "TILE-granularity top-p density lands in the "
+                         "reference's real-video telemetry band (0.1-0.3): "
+                         "gain 2.0 -> d=0.47, 3.0 -> 0.385, 3.5 -> 0.310")
     ap.add_argument("--kc", type=int, default=250,
                     help="k-centroids. TPU-adapted default (reference 720p "
                          "SVG2 uses 1000, tuned for the GPU variable-block "

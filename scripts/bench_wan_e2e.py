@@ -57,13 +57,14 @@ def main():
                     help="'tile' (default) = fixed block_kv tiles of the "
                          "PC1-seriated k-means order — the organic-density "
                          "TPU mode (see bench_wan14b.py --sap_block_mode)")
-    ap.add_argument("--organic_gain", type=float, default=3.0,
-                    help="q-norm gain for --organic (same 3.0 default as the "
-                         "14B tile-mode bench): gain 2.0 left measured "
-                         "density at ~0.40-0.53, above the reference "
-                         "telemetry band (0.1-0.3); the min_kc floor makes "
-                         "high gains safe and the measured density is "
-                         "reported either way")
+    ap.add_argument("--organic_gain", type=float, default=4.0,
+                    help="q-norm gain for --organic, calibrated so the "
+                         "1.3B's tile-granularity top-p density lands in "
+                         "the reference telemetry band (0.1-0.3): gain 3.0 "
+                         "measured d=0.43, gain 4.0 d=0.29 (the 12-head "
+                         "1.3B needs a sharper gain than the 14B's 3.0); "
+                         "the min_kc floor makes high gains safe and the "
+                         "measured density is reported either way")
     args = ap.parse_args()
     t_start = time.monotonic()
 

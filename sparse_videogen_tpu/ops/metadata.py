@@ -231,6 +231,36 @@ def chunk_meta_jnp(mask, counts, *, block_kv: int, cap: int):
     return jnp.concatenate([n[..., None], entries], axis=-1)
 
 
+def tile_meta_jnp(sel, *, block_kv: int, n_tokens: int, nsub: int, cap: int):
+    """Direct chunk metadata for uniform tiles (SAP tile mode, grain ==
+    block_kv): tile t occupies tokens [t*block_kv, min((t+1)*block_kv,
+    n_tokens)) of the permuted KV array, so each selected tile is exactly
+    one chunk and the metadata is pure arithmetic — no run-origin scan, no
+    per-sub-block valid accumulation, and the compaction sort runs at tile
+    granularity (block_kv/SUB x smaller than chunk_meta_jnp's sub-block
+    mask). Bit-identical to chunk_meta_jnp on the expanded mask for this
+    layout (runs can only break at tile boundaries; the one partial tile is
+    the last).
+
+    sel: (R, NR, T) bool tile selection. Returns (R, NR, 1 + 2*cap) int32.
+    """
+    R, NR, T = sel.shape
+    C = block_kv // SUB
+    n = jnp.minimum(jnp.sum(sel, axis=-1, dtype=jnp.int32), cap)
+    order = jnp.argsort(~sel, axis=-1, stable=True).astype(jnp.int32)
+    tids = order[..., :cap]  # first `cap` selected tile ids, ascending
+    valid = jnp.take_along_axis(sel, tids, axis=-1)
+    start_sub = tids * C
+    idx = jnp.minimum(start_sub, nsub - C)  # keep the DMA inside the array
+    lo = (start_sub - idx) * SUB
+    vt = jnp.clip(n_tokens - tids * block_kv, 0, block_kv)  # tile token count
+    win = pack_window(lo, lo + vt)
+    idxs = jnp.where(valid, idx, 0)
+    wins = jnp.where(valid, win, 0)
+    entries = jnp.stack([idxs, wins], axis=-1).reshape(R, NR, 2 * cap)
+    return jnp.concatenate([n[..., None], entries], axis=-1)
+
+
 import jax  # noqa: E402  (used by chunk_meta_jnp)
 
 

@@ -508,6 +508,14 @@ def sap_sparse_attention(
             # so chunk_meta never emits them
             cap_extra = -(-pl_pad // bkv) + -(-ul_pad // bkv) + 4
             kc_tiles = n_video_kc
+        elif kv_grain == bkv:
+            # uniform tiles, no text tail: each selected tile IS one chunk,
+            # so the metadata is pure arithmetic over a tile-granularity
+            # compaction sort (tile_meta_jnp — bit-identical to
+            # chunk_meta_jnp on the expanded mask, ~3x cheaper to build)
+            meta_c = MD.tile_meta_jnp(
+                dyn_f, block_kv=bkv, n_tokens=S, nsub=nsub, cap=min(KC, nsub))
+            counts_np = None
         else:
             mask = jnp.repeat(dyn_f, subs_per_tile, axis=-1)
             if mask.shape[-1] < nsub:  # tiny-S case: sk_pad = block_kv > S
@@ -517,19 +525,20 @@ def sap_sparse_attention(
             counts_np = MD.kv_counts_for_seq(S, sk_pad)
             cap_extra = 2
             kc_tiles = KC
-        counts = jnp.broadcast_to(
-            jnp.asarray(counts_np, jnp.int32), (BH, nsub)
-        )  # kv_counts_for_seq already carries a leading broadcast axis
-        # worst case: a run of L consecutive selected tiles takes
-        # ceil(L * grain / bkv) <= L * ceil(grain / bkv) chunks, so
-        # kc_tiles * ceil(grain / bkv) bounds the video region of any row
-        # (the factor is 1 whenever grain <= bkv; with grain > bkv each tile
-        # alone needs several chunks — a KC+2 cap silently truncated
-        # attention there). cap_extra covers the text tiles' own chunks plus
-        # margin for partial tail sub-blocks breaking runs. nsub is an
-        # absolute bound: chunks cover disjoint sub-block spans.
-        cap_csr = min(nsub, kc_tiles * (-(-kv_grain // bkv)) + cap_extra)
-        meta_c = MD.chunk_meta_jnp(mask, counts, block_kv=bkv, cap=cap_csr)
+        if counts_np is not None:
+            counts = jnp.broadcast_to(
+                jnp.asarray(counts_np, jnp.int32), (BH, nsub)
+            )  # kv_counts_for_seq already carries a leading broadcast axis
+            # worst case: a run of L consecutive selected tiles takes
+            # ceil(L * grain / bkv) <= L * ceil(grain / bkv) chunks, so
+            # kc_tiles * ceil(grain / bkv) bounds the video region of any row
+            # (the factor is 1 whenever grain <= bkv; with grain > bkv each
+            # tile alone needs several chunks — a KC+2 cap silently truncated
+            # attention there). cap_extra covers the text tiles' own chunks
+            # plus margin for partial tail sub-blocks breaking runs. nsub is
+            # an absolute bound: chunks cover disjoint sub-block spans.
+            cap_csr = min(nsub, kc_tiles * (-(-kv_grain // bkv)) + cap_extra)
+            meta_c = MD.chunk_meta_jnp(mask, counts, block_kv=bkv, cap=cap_csr)
     else:
         # run-list metadata: variable cluster sizes need token-window runs
         zero = jnp.zeros_like(ksz[..., :1])

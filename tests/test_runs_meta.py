@@ -148,3 +148,30 @@ def test_cap_truncation_drops_whole_runs():
     meta = MD.run_meta_np(sel, starts, sizes, block_kv=512, cap=2)
     assert meta[0, 0, 0] == 2  # only the first two runs' chunks counted
     assert meta[0, 0, 1:5].tolist() == [0, 10, 20, 30]
+
+
+def test_tile_meta_matches_chunk_meta_expansion():
+    """tile_meta_jnp (uniform tiles, grain == block_kv) must decode to the
+    same token mask as chunk_meta_np on the sub-block-expanded mask, for
+    random selections incl. the partial last tile and a tail that forces
+    the DMA clamp."""
+    rng = np.random.default_rng(9)
+    for S, bkv in [(1000, 256), (640, 128), (900, 512)]:
+        T = -(-S // bkv)
+        nsub = -(-S // MD.SUB)
+        sk_pad = nsub * MD.SUB
+        R, NR = 2, 3
+        sel = rng.random((R, NR, T)) < 0.5
+        meta_t = np.asarray(MD.tile_meta_jnp(
+            jnp.asarray(sel), block_kv=bkv, n_tokens=S, nsub=nsub,
+            cap=min(T, nsub)))
+        # oracle: expand tiles to sub-blocks, run the numpy chunk builder
+        spt = bkv // MD.SUB
+        mask = np.repeat(sel, spt, axis=-1)[..., :nsub]
+        counts = np.broadcast_to(MD.kv_counts_for_seq(S, sk_pad), (R, nsub))
+        meta_c = MD.chunk_meta_np(mask, counts, block_kv=bkv)
+        got = MD.decode_meta(meta_t, block_kv=bkv, seq_kv=sk_pad)
+        want = MD.decode_meta(meta_c, block_kv=bkv, seq_kv=sk_pad)
+        np.testing.assert_array_equal(got, want)
+        # chunk counts agree too
+        np.testing.assert_array_equal(meta_t[..., 0], meta_c[..., 0] % MD.N_CHEAP_SCALE)
