@@ -56,8 +56,8 @@ CACHED = {
     "wan": {"value": 1.769, "sap_e2e_speedup": 1.235, "dense_step_s": 17.772,
             "sap_density": 0.2921, "sap_density_source": "organic",
             "sap_config": {"block_mode": "tile"}},
-    "wan14b": {"value": 1.743, "sap_e2e_speedup": 1.172,
-               "sap_density": 0.3311, "sap_density_source": "organic",
+    "wan14b": {"value": 1.741, "sap_e2e_speedup": 1.273,
+               "sap_density": 0.2636, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
                "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4789},
     "wan_extra": {"value": 1.357, "i2v14b_720p_svg1_e2e_speedup": 1.353},

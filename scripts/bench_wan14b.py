@@ -91,14 +91,14 @@ def main():
                          "@ d=0.50 vs cluster 0.759x @ d=0.27 (same top_p; "
                          "tile processes MORE true attention mass per "
                          "second — NOTES_ROUND4.md session 3)")
-    ap.add_argument("--organic_gain", type=float, default=3.0,
+    ap.add_argument("--organic_gain", type=float, default=3.5,
                     help="q-norm gain for --organic; calibrated on TPU so "
                          "the density of the selection granularity actually "
                          "benched lands mid-telemetry-band (reference "
-                         "telemetry 0.1-0.3): tile-mode maps at gain 3.0 "
-                         "measure 0.303 (cluster-granularity maps land at "
-                         "the min_kc floor 0.10-0.13; gain 2.0 puts "
-                         "clusters at 0.18-0.21 but tiles at 0.47-0.53, "
+                         "telemetry 0.1-0.3): tile-mode maps measure "
+                         "d=0.33 at gain 3.0, d=0.26 at 3.5 (cluster-"
+                         "granularity maps land at the min_kc floor "
+                         "0.10-0.13; gain 2.0 puts tiles at 0.47-0.53, "
                          "above band)")
     ap.add_argument("--smooth", type=int, nargs=3, default=[3, 6, 6],
                     help="latent correlation lengths (F, H, W) for --organic")
