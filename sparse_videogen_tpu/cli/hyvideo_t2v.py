@@ -213,7 +213,13 @@ def main(argv=None):
                       min_kc_ratio=args.min_kc_ratio,
                       kmeans_iter_init=args.kmeans_iter_init,
                       kmeans_iter_step=args.kmeans_iter_step,
-                      block_mode=args.sap_block_mode),
+                      block_mode=args.sap_block_mode,
+                      # tile mode executes at hardware-tile granularity;
+                      # bq=bkv=512 is the measured TPU optimum (cluster
+                      # mode keeps the SAPConfig defaults tuned for
+                      # variable-size runs — bench_wan14b.py --sap_bq)
+                      **({"block_q": 512, "block_kv": 512}
+                         if args.sap_block_mode == "tile" else {})),
         seed=args.seed,
         logging_file=args.logging_file,
     )
