@@ -65,6 +65,11 @@ def main():
                          "organic-density TPU mode (bench_wan14b.py "
                          "--sap_block_mode); quality is evidenced for the "
                          "recommended config")
+    ap.add_argument("--sap_tile_grain", type=int, default=None,
+                    help="tile-mode selection grain (SAPConfig.tile_grain): "
+                         "finer grains select more precisely (less tile-"
+                         "centroid blur) at a small perf cost — measured "
+                         "quality lever for the tile/cluster gap")
     ap.add_argument("--skip_int8", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_r05.json"))
     ap.add_argument("--organic_gain", type=float, default=4.0,
@@ -125,7 +130,7 @@ def main():
                     top_p_kmeans=0.9, min_kc_ratio=0.10,
                     block_q=512 if not args.smoke else 64, block_kv=512,
                     kmeans_iter_init=50 if not args.smoke else 4,
-                    kmeans_iter_step=2)
+                    kmeans_iter_step=2, tile_grain=args.sap_tile_grain)
 
     lat = {}
     t0 = time.time()
