@@ -290,7 +290,7 @@ def main():
                   f"svg1 {t_svg:.2f} s/step (step {t_dense/t_svg:.2f}x); blend with "
                   f"{n_warm_steps} dense warm steps -> e2e {speedup:.3f}x "
                   f"(ref H100 {REF_E2E}x)", file=sys.stderr)
-            if "sap" in results:
+        if "sap" in results:
                 r = results["sap"]
                 t_sap = (r["a"] + U_FULL * r["b_unit"]
                          + warm_frac_units * (results["dense"]["b_unit"] - r["b_unit"]))
@@ -299,8 +299,10 @@ def main():
                 e2e_sap = (n_warm_steps * t_dense + t_sap_cold
                            + (NUM_STEPS - n_warm_steps - 1) * t_sap)
                 sap_speedup = e2e_dense / e2e_sap
-                print(f"[bench_hyvideo] sap full-depth warm {t_sap:.2f} s/step "
-                      f"(cold {t_sap_cold:.2f}) -> e2e {sap_speedup:.3f}x", file=sys.stderr)
+                if final:
+                    print(f"[bench_hyvideo] sap full-depth warm {t_sap:.2f} s/step "
+                          f"(cold {t_sap_cold:.2f}) -> e2e {sap_speedup:.3f}x",
+                          file=sys.stderr)
                 out["sap_e2e_speedup"] = round(sap_speedup, 3)
                 out["sap_warm_step_s"] = round(t_sap, 3)
                 out["sap_cold_step_s"] = round(t_sap_cold, 3)
@@ -345,65 +347,63 @@ def main():
                   file=sys.stderr)
             results[name] = {"a": a, "b_unit": b}
 
-    # interleaved (dense u, svg1 u) measurement order: a budget bail-out at
-    # any point leaves the most composable set, and a JSON snapshot is
-    # emitted after every point once both runtimes have one (the driver
-    # takes the last line)
-    done = False
-    for u in args.units:
-        for name in ("dense", "svg1"):
-            if rem() <= 0 and times["dense"] and times["svg1"]:
-                print(f"[bench_hyvideo] budget exhausted before {name} u={u}",
+    sap_times = {}  # u -> (cold, warm)
+
+    def refit_sap():
+        if not sap_times:
+            return
+        # anchored at the measured u=0 intercept like every runtime
+        us = np.asarray([0.0] + sorted(sap_times), np.float64)
+        tw = np.asarray([t0] + [sap_times[u][1] for u in sorted(sap_times)])
+        tc = np.asarray([t0] + [sap_times[u][0] for u in sorted(sap_times)])
+        b, a = np.polyfit(us, tw, 1)
+        bc, ac = np.polyfit(us, tc, 1)
+        results["sap"] = {"a": a, "b_unit": b, "a_cold": ac, "b_cold": bc}
+
+    # Measurement schedule: (dense u1, svg1 u1, SAP u1), then the larger
+    # depths. The u=0 anchor makes every u=1-only fit already honest, so
+    # the FIRST three measurements produce a complete fresh set (incl. the
+    # SAP number); u>=2 points only refine the fits. Round-5 rehearsal
+    # data: each big program costs 30-100 s of compile-cache
+    # deserialization even when warm, so all-units-before-SAP ordering
+    # (round 4) burned the whole driver budget before SAP ever ran.
+    # A JSON snapshot is emitted after every point (driver takes the last).
+    schedule = [(n, u) for u in args.units for n in ("dense", "svg1", "sap")]
+    for name, u in schedule:
+        if name == "sap" and sap_rt is None:
+            continue
+        have_min = times["dense"] and times["svg1"]
+        if rem() <= 0 and have_min:
+            print(f"[bench_hyvideo] budget exhausted before {name} u={u}",
+                  file=sys.stderr)
+            break
+        cfg_r = dataclasses.replace(
+            base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
+        if name == "sap":
+            try:
+                tc, tw = step_time(sap_rt, cfg_r, tiled(params_unit, u), carry_state=True)
+                sap_times[u] = (tc, tw)
+                print(f"[bench_hyvideo] sap u={u}: warm {tw:.2f} (cold {tc:.2f}) s/step "
+                      f"[budget rem {rem():.0f}s]", file=sys.stderr)
+            except Exception as e:
+                print(f"[bench_hyvideo] sap u={u} failed ({e!r}); continuing",
                       file=sys.stderr)
-                done = True
-                break
-            cfg_r = dataclasses.replace(
-                base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
+                continue
+        else:
             t = step_time(runtimes[name], cfg_r, tiled(params_unit, u))
             times[name][u] = t
             print(f"[bench_hyvideo] {name} u={u} ({2*u}d+{4*u}s, S={layout.seq_len}): "
                   f"{t:.2f} s/step  [budget rem {rem():.0f}s]", file=sys.stderr)
-            refit()
-            if "dense" in results and "svg1" in results:
-                compose_and_report(results, final=False)
-        if done:
-            break
+        refit()
+        refit_sap()
+        if "dense" in results and "svg1" in results:
+            compose_and_report(results, final=False)
 
     if not ("dense" in results and "svg1" in results):
         print(json.dumps({"metric": "hyvideo_720p_svg1_e2e_speedup", "value": 0.0,
                           "unit": "x", "vs_baseline": 0.0,
                           "note": "budget too small for one dense+svg1 pair"}))
         return
-
-    # SAP leg (optional; never jeopardizes the headline). Each unit costs
-    # ~2 cold + 3 warm full-seq forwards plus a compile; skip outright when
-    # the remaining budget clearly cannot fit one.
-    if sap_rt is not None and rem() > 60:
-        try:
-            ts_cold, ts_warm, us_done = [], [], []
-            for u in args.units:
-                if us_done and rem() <= 0:
-                    break
-                cfg_r = dataclasses.replace(
-                    base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
-                tc, tw = step_time(sap_rt, cfg_r, tiled(params_unit, u), carry_state=True)
-                print(f"[bench_hyvideo] sap u={u}: warm {tw:.2f} (cold {tc:.2f}) s/step "
-                      f"[budget rem {rem():.0f}s]", file=sys.stderr)
-                ts_cold.append(tc)
-                ts_warm.append(tw)
-                us_done.append(u)
-            if us_done:
-                # anchored at the measured u=0 intercept like every runtime
-                us = np.asarray([0.0] + us_done, np.float64)
-                b, a = np.polyfit(us, np.asarray([t0] + ts_warm), 1)
-                bc, ac = np.polyfit(us, np.asarray([t0] + ts_cold), 1)
-                results["sap"] = {"a": a, "b_unit": b, "a_cold": ac, "b_cold": bc}
-        except Exception as e:
-            print(f"[bench_hyvideo] sap leg failed ({e!r}); reporting dense/svg1 only",
-                  file=sys.stderr)
-    elif sap_rt is not None:
-        print(f"[bench_hyvideo] skipping sap leg ({rem():.0f}s budget left)",
-              file=sys.stderr)
 
     compose_and_report(results, final=True)
 
