@@ -165,9 +165,23 @@ def main():
     #    if everything below times out or the TPU is unreachable.
     emit(state)
 
+    # Step 0: device warm-touch in a THROWAWAY subprocess. The axon tunnel's
+    # first contact after a previous process exits can stall 2-7 minutes
+    # (measured 163 s / 420 s in round-5 rehearsals); absorbing it here
+    # means the legs below start with a live device instead of burning
+    # their budgets in the stall and getting hard-killed mid-measurement
+    # (a killed TPU process wedges the chip for the remaining legs).
     try:
-        import jax
-        on_tpu = jax.devices()[0].platform == "tpu"
+        p0 = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=max(60, remaining() - 200))
+        on_tpu = "tpu" in (p0.stdout or "")
+        sys.stderr.write(f"[bench] device warm-touch: {p0.stdout.strip()!r} "
+                         f"({time.monotonic() - T0:.0f}s elapsed)\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("[bench] device warm-touch timed out; trying legs anyway\n")
+        on_tpu = True
     except Exception:
         on_tpu = False
     if not on_tpu:

@@ -377,6 +377,14 @@ def main():
             print(f"[bench_hyvideo] budget exhausted before {name} u={u}",
                   file=sys.stderr)
             break
+        if rem() <= -60 and not have_min:
+            # deep into the driver's kill grace with nothing composable yet
+            # (a device-acquisition stall ate the whole budget): bail NOW —
+            # a hard kill mid-TPU-measurement wedges the chip for the
+            # driver's remaining legs
+            print("[bench_hyvideo] startup stall consumed the budget; bailing "
+                  "before the kill grace expires", file=sys.stderr)
+            break
         cfg_r = dataclasses.replace(
             base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
         if name == "sap":
