@@ -199,10 +199,10 @@ def main():
     # 30-100 s per big program, so 540 s fresh-measures ~2 legs — the rest
     # ride the cached snapshot with explicit per-leg provenance.
     legs = [
-        ("hyvideo", "bench_hyvideo.py", 180, 320, ("--units", "1", "2")),
-        ("wan14b", "bench_wan14b.py", 100, 170, ()),
+        ("hyvideo", "bench_hyvideo.py", 180, 320, ("--units", "1", "2", "--iters", "1")),
+        ("wan14b", "bench_wan14b.py", 100, 170, ("--iters", "1")),
         ("wan", "bench_wan_e2e.py", 90, 140, ()),
-        ("wan_extra", "bench_wan_extra.py", 90, 150, ()),
+        ("wan_extra", "bench_wan_extra.py", 90, 150, ("--iters", "1")),
     ]
     for key, script, min_b, max_b, args in legs:
         budget = min(max_b, remaining() - 30)

@@ -7,7 +7,13 @@ probe times each SAP stage in isolation at one layer's geometry (B*H=40,
 S=75,600, D=128) with organic-like clustered inputs, so the gap can be
 attributed (sorts? gathers? metadata? kernel?).
 
-Stages mirror sparse/svg2.sap_sparse_attention in tile mode.
+Stages mirror sparse/svg2.sap_sparse_attention in tile mode AS OF the
+round-5 baseline. NOTE: the permutation-reuse refactor that this probe
+motivated (tile sort = token permutation) removed the padded_permutation
+and kv-sort stages from the production path — the "q padded_perm" and
+"kv sort" lines here time the OLD standalone constructions for comparison;
+the "full sap_sparse_attention" line is the live path (measured 391 ->
+306 ms at d=0.095 across the refactor).
 """
 
 import sys
