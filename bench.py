@@ -56,7 +56,7 @@ CACHED = {
     "wan": {"value": 1.769, "vs_baseline": 1.172, "sap_e2e_speedup": 1.235,
             "dense_step_s": 17.772,
             "sap_density": 0.2921, "sap_density_source": "organic",
-            "sap_config": {"block_mode": "tile"}},
+            "sap_block_mode": "tile"},
     "wan14b": {"value": 1.741, "vs_baseline": 1.153, "sap_e2e_speedup": 1.273,
                "sap_density": 0.2636, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
@@ -93,14 +93,14 @@ def emit(state):
         "wan_720p_sap_e2e_speedup": wan.get("sap_e2e_speedup"),
         "wan_sap_density": wan.get("sap_density"),
         "wan_sap_density_source": wan.get("sap_density_source"),
-        "wan_sap_block_mode": (wan.get("sap_config") or {}).get("block_mode"),
+        "wan_sap_block_mode": wan.get("sap_block_mode") or (wan.get("sap_config") or {}).get("block_mode"),
         "wan_dense_step_s": wan.get("dense_step_s"),
         "wan14b_720p_svg1_e2e_speedup": wan14.get("value"),
         "wan14b_720p_svg1_vs_ref": wan14.get("vs_baseline"),
         "wan14b_720p_sap_e2e_speedup": wan14.get("sap_e2e_speedup"),
         "wan14b_sap_density": wan14.get("sap_density"),
         "wan14b_sap_density_source": wan14.get("sap_density_source"),
-        "wan14b_sap_block_mode": (wan14.get("sap_config") or {}).get("block_mode"),
+        "wan14b_sap_block_mode": wan14.get("sap_block_mode") or (wan14.get("sap_config") or {}).get("block_mode"),
         "wan14b_dense_step_mfu": wan14.get("dense_step_mfu"),
         "wan14b_svg1_step_mfu": wan14.get("svg1_step_mfu"),
         "wan_480p_svg1_e2e_speedup": extra.get("value"),
@@ -180,8 +180,13 @@ def main():
         sys.stderr.write(f"[bench] device warm-touch: {p0.stdout.strip()!r} "
                          f"({time.monotonic() - T0:.0f}s elapsed)\n")
     except subprocess.TimeoutExpired:
-        sys.stderr.write("[bench] device warm-touch timed out; trying legs anyway\n")
-        on_tpu = True
+        # the probe was just SIGKILLed mid-acquisition: the chip may now be
+        # wedged for minutes, and there is no budget left for a stall this
+        # long anyway — let the cached snapshot stand instead of burning
+        # every leg against a wedged device
+        sys.stderr.write("[bench] device warm-touch timed out; "
+                         "cached snapshot stands\n")
+        on_tpu = False
     except Exception:
         on_tpu = False
     if not on_tpu:

@@ -291,29 +291,29 @@ def main():
                   f"{n_warm_steps} dense warm steps -> e2e {speedup:.3f}x "
                   f"(ref H100 {REF_E2E}x)", file=sys.stderr)
         if "sap" in results:
-                r = results["sap"]
-                t_sap = (r["a"] + U_FULL * r["b_unit"]
-                         + warm_frac_units * (results["dense"]["b_unit"] - r["b_unit"]))
-                t_sap_cold = (r["a_cold"] + U_FULL * r["b_cold"]
-                              + warm_frac_units * (results["dense"]["b_unit"] - r["b_cold"]))
-                e2e_sap = (n_warm_steps * t_dense + t_sap_cold
-                           + (NUM_STEPS - n_warm_steps - 1) * t_sap)
-                sap_speedup = e2e_dense / e2e_sap
-                if final:
-                    print(f"[bench_hyvideo] sap full-depth warm {t_sap:.2f} s/step "
-                          f"(cold {t_sap_cold:.2f}) -> e2e {sap_speedup:.3f}x",
-                          file=sys.stderr)
-                out["sap_e2e_speedup"] = round(sap_speedup, 3)
-                out["sap_warm_step_s"] = round(t_sap, 3)
-                out["sap_cold_step_s"] = round(t_sap_cold, 3)
-                if args.organic:
-                    out["sap_density"] = (round(float(np.mean(measured_density)), 4)
-                                          if measured_density else None)
-                    out["sap_density_source"] = "organic"
-                else:
-                    out["sap_density"] = 0.25
-                    out["sap_density_source"] = "forced"
-                out["sap_block_mode"] = args.sap_block_mode
+            r = results["sap"]
+            t_sap = (r["a"] + U_FULL * r["b_unit"]
+                     + warm_frac_units * (results["dense"]["b_unit"] - r["b_unit"]))
+            t_sap_cold = (r["a_cold"] + U_FULL * r["b_cold"]
+                          + warm_frac_units * (results["dense"]["b_unit"] - r["b_cold"]))
+            e2e_sap = (n_warm_steps * t_dense + t_sap_cold
+                       + (NUM_STEPS - n_warm_steps - 1) * t_sap)
+            sap_speedup = e2e_dense / e2e_sap
+            if final:
+                print(f"[bench_hyvideo] sap full-depth warm {t_sap:.2f} s/step "
+                      f"(cold {t_sap_cold:.2f}) -> e2e {sap_speedup:.3f}x",
+                      file=sys.stderr)
+            out["sap_e2e_speedup"] = round(sap_speedup, 3)
+            out["sap_warm_step_s"] = round(t_sap, 3)
+            out["sap_cold_step_s"] = round(t_sap_cold, 3)
+            if args.organic:
+                out["sap_density"] = (round(float(np.mean(measured_density)), 4)
+                                      if measured_density else None)
+                out["sap_density_source"] = "organic"
+            else:
+                out["sap_density"] = 0.25
+                out["sap_density_source"] = "forced"
+            out["sap_block_mode"] = args.sap_block_mode
         print(json.dumps(out), flush=True)
 
     times = {"dense": {}, "svg1": {}}

@@ -62,7 +62,7 @@ def main():
                          "1.3B's tile-granularity top-p density lands in "
                          "the reference telemetry band (0.1-0.3): gain 3.0 "
                          "measured d=0.43, gain 4.0 d=0.29 (the 12-head "
-                         "1.3B needs a sharper gain than the 14B's 3.0); "
+                         "1.3B needs a sharper gain than the 14B's 3.5); "
                          "the min_kc floor makes high gains safe and the "
                          "measured density is reported either way")
     args = ap.parse_args()

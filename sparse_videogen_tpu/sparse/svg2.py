@@ -425,7 +425,6 @@ def sap_sparse_attention(
             ul_t = layout.context_length - pl_t
             pl_qpad = -(-pl_t // bq) * bq
             ul_qpad = -(-ul_t // bq) * bq
-            sq_pad = n_video_pad_q + pl_qpad + ul_qpad
             qp = jnp.concatenate(
                 [qp, pad_rows(qf[:, vl : vl + pl_t], pl_qpad),
                  pad_rows(qf[:, vl + pl_t :], ul_qpad)], axis=1)
@@ -447,7 +446,6 @@ def sap_sparse_attention(
                 axis=1)
             kv = pad_rows(kv, sk_pad)
         else:
-            sq_pad = n_video_pad_q
             sk_pad = max(-(-S // MD.SUB) * MD.SUB, bkv)
             kv = pad_rows(kvp, sk_pad)
     else:
@@ -550,7 +548,6 @@ def sap_sparse_attention(
         # clusters at static offsets — the expansion is a static-index
         # gather (free) instead of the per-head dynamic take_along_axis
         if text_last:
-            import numpy as _np
 
             qb_np = _np.concatenate(
                 [_np.arange(n_video_qc, dtype=_np.int32),

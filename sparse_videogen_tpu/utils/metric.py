@@ -130,9 +130,15 @@ def main(argv=None):
         # reference's lpips-package numbers (utils/lpips_jax.py)
         from sparse_videogen_tpu.utils.lpips_jax import load_lpips_weights, lpips_alex
 
-        w = load_lpips_weights()
-        if w is not None:
-            mean["lpips"] = lpips_alex(a[:t], b[:t], w)
+        try:
+            w = load_lpips_weights()
+            if w is not None:
+                mean["lpips"] = lpips_alex(a[:t], b[:t], w)
+        except Exception as e:  # bad $SVT_LPIPS_WEIGHTS must not kill the CLI
+            import sys as _sys
+
+            print(f"[metric] lpips weights unusable ({e}); reporting lpips_rf only",
+                  file=_sys.stderr)
     if "lpips" not in mean:
         try:  # optional true LPIPS via the reference's own package, if present
             import lpips  # noqa: F401

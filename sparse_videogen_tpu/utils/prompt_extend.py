@@ -176,7 +176,9 @@ class DashScopePromptExpander(PromptExpander):
         for _ in range(self.retry_times):
             try:
                 if self._dashscope is not None:
-                    resp = self._dashscope.Generation.call(
+                    api = (self._dashscope.MultiModalConversation if self.is_vl
+                           else self._dashscope.Generation)
+                    resp = api.call(
                         self.model_name, messages=messages, result_format="message"
                     )
                     if resp.status_code == 200:

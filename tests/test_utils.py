@@ -405,7 +405,7 @@ def test_lpips_alex_weights_path(tmp_path, monkeypatch):
     from sparse_videogen_tpu.utils.lpips_jax import load_lpips_weights, lpips_alex
 
     monkeypatch.delenv("SVT_LPIPS_WEIGHTS", raising=False)
-    assert load_lpips_weights("/nonexistent/path.npz" + "x") is None or True  # no crash
+    assert load_lpips_weights() is None  # nothing resolvable anywhere
 
     rng = np.random.default_rng(1)
     chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3), (256, 256, 3)]
