@@ -377,24 +377,22 @@ def main():
             print(f"[bench_hyvideo] budget exhausted before {name} u={u}",
                   file=sys.stderr)
             break
-        if rem() <= -60 and not have_min:
-            # deep into the driver's kill grace with nothing composable yet
-            # (a device-acquisition stall ate the whole budget): bail NOW —
-            # a hard kill mid-TPU-measurement wedges the chip for the
-            # driver's remaining legs
+        # never START a measurement that cannot finish inside the driver's
+        # kill grace (~150 s past budget): a mid-TPU kill wedges the chip
+        # for the driver's remaining legs. Rough per-entry costs at
+        # --iters 1 (s): dense ~30u+30, svg1 ~15u+20, sap ~40u+80 (cold+warm).
+        # Without a minimal set yet (startup stall ate the budget), squeeze
+        # whatever still fits into the grace, then bail.
+        est_s = {"dense": 30 * u + 30, "svg1": 15 * u + 20,
+                 "sap": 40 * u + 80}[name] * max(1, args.iters)
+        if rem() - est_s < -120:
+            if have_min:
+                print(f"[bench_hyvideo] skipping {name} u={u}: ~{est_s:.0f}s "
+                      f"won't fit in {rem():.0f}s + grace", file=sys.stderr)
+                continue
             print("[bench_hyvideo] startup stall consumed the budget; bailing "
                   "before the kill grace expires", file=sys.stderr)
             break
-        # once a minimal set exists, never START a measurement that cannot
-        # finish inside the driver's kill grace (~150 s past budget): a
-        # mid-TPU kill wedges the chip. Rough per-entry costs at --iters 1
-        # (s): dense ~30u+30, svg1 ~15u+20, sap ~(40u+80 incl. cold+warm).
-        est_s = {"dense": 30 * u + 30, "svg1": 15 * u + 20,
-                 "sap": 40 * u + 80}[name] * max(1, args.iters)
-        if have_min and rem() < est_s - 90:
-            print(f"[bench_hyvideo] skipping {name} u={u}: ~{est_s:.0f}s "
-                  f"won't fit in {rem():.0f}s + grace", file=sys.stderr)
-            continue
         cfg_r = dataclasses.replace(
             base, mm_double_blocks_depth=2 * u, mm_single_blocks_depth=4 * u)
         if name == "sap":
