@@ -115,6 +115,26 @@ def sap_cluster(q, k, state: SAPState, cfg: SAPConfig, rng):
     return (qlab, qcent, qsz), (klab, kcent, ksz), new_state
 
 
+def tile_sizes(n_tokens: int, grain: int, n_tiles: int, batch: int):
+    """(batch, n_tiles) int32 tile sizes: full `grain` except the last tile."""
+    sizes = jnp.clip(n_tokens - jnp.arange(n_tiles, dtype=jnp.int32) * grain, 0, grain)
+    return jnp.broadcast_to(sizes[None], (batch, n_tiles)).astype(jnp.int32)
+
+
+def tile_centroids(xs, sizes, grain: int, n_tiles: int):
+    """Segment means over fixed `grain`-token tiles of an ALREADY-SORTED
+    token array. xs: (BH, L, D) with L >= the token count (extra rows are
+    zero padding and the partial-tile sizes exclude them exactly)."""
+    BH, L, D = xs.shape
+    dt = xs.dtype
+    pad = n_tiles * grain - L
+    if pad > 0:
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+    xs = xs[:, : n_tiles * grain].reshape(BH, n_tiles, grain, D).astype(jnp.float32)
+    cent = jnp.sum(xs, axis=2) / jnp.maximum(sizes[..., None].astype(jnp.float32), 1.0)
+    return cent.astype(dt)
+
+
 def tile_quantize(x, lab, grain: int, n_tiles: int):
     """Re-label tokens into fixed `grain`-token tiles of the cluster-sorted
     order; return (tile_labels, tile_sizes, tile_centroids, perm, rank)
@@ -137,6 +157,12 @@ def tile_quantize(x, lab, grain: int, n_tiles: int):
     (segment means), so the top-p selection semantics are unchanged — only
     the selection granularity is the hardware tile instead of the cluster.
 
+    NOTE: sap_sparse_attention no longer calls this wrapper — it composes
+    the pieces (sort, tile_sizes, tile_centroids) so the token gather is
+    shared with the kernel input (the standalone K gather here is not
+    CSE-able against the packed [K|V] kernel gather) and the kv-side rank
+    sort is skipped. Kept as the reference implementation for tests/probes.
+
     x: (BH, S, D) tokens, lab: (BH, S) k-means labels. n_tiles = ceil(S/grain).
     """
     BH, S, D = x.shape
@@ -144,15 +170,10 @@ def tile_quantize(x, lab, grain: int, n_tiles: int):
     _, perm = jax.lax.sort_key_val(lab, iota, dimension=-1)  # new -> old
     _, rank = jax.lax.sort_key_val(perm, iota, dimension=-1)  # old -> new
     tlab = (rank // grain).astype(jnp.int32)
-    sizes = jnp.clip(S - jnp.arange(n_tiles, dtype=jnp.int32) * grain, 0, grain)
-    sizes = jnp.broadcast_to(sizes[None], (BH, n_tiles)).astype(jnp.int32)
+    sizes = tile_sizes(S, grain, n_tiles, BH)
     xs = core_permute.flat_row_gather(x, perm)
-    pad = n_tiles * grain - S
-    if pad:
-        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
-    xs = xs.reshape(BH, n_tiles, grain, D).astype(jnp.float32)
-    cent = jnp.sum(xs, axis=2) / jnp.maximum(sizes[..., None].astype(jnp.float32), 1.0)
-    return tlab, sizes, cent.astype(x.dtype), perm, rank
+    cent = tile_centroids(xs, sizes, grain, n_tiles).astype(x.dtype)
+    return tlab, sizes, cent, perm, rank
 
 
 def popularity_relabel(dyn_map, klab, ksz, kcent):
@@ -242,6 +263,22 @@ def pc1_relabel(dyn_map, klab, ksz, kcent):
     return dyn2, klab2, ksz2, kcent2
 
 
+def _extend_text_dyn(dyn_f, layout: VideoLayout, QC: int, KC: int):
+    """Extend a (BH, QC, KC) dynamic map with the two text clusters
+    (prompt, padding) of a text-last layout — the map part of
+    _extend_text_clusters, reused alone by the CSR tile path (whose static
+    grain-aligned layout never reads the extended labels/sizes)."""
+    pl_ = layout.prompt_length
+    ul = layout.context_length - pl_
+    dyn2 = jnp.pad(dyn_f, ((0, 0), (0, 2), (0, 2)))
+    if pl_ > 0:
+        dyn2 = dyn2.at[:, QC, : KC + 1].set(True)  # prompt q -> video + prompt k
+        dyn2 = dyn2.at[:, :QC, KC].set(True)  # video q -> prompt k
+    if ul > 0:
+        dyn2 = dyn2.at[:, QC + 1, KC + 1].set(True)  # padding q -> padding k
+    return dyn2
+
+
 def _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout: VideoLayout):
     """Append prompt + padding clusters for text-last layouts (HunyuanVideo).
 
@@ -271,12 +308,7 @@ def _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout: VideoLayout):
         e = jnp.array([[pl_, ul]], jnp.int32)
         return jnp.concatenate([sz, jnp.broadcast_to(e, (BH, 2)).astype(sz.dtype)], axis=-1)
 
-    dyn2 = jnp.pad(dyn_f, ((0, 0), (0, 2), (0, 2)))
-    if pl_ > 0:
-        dyn2 = dyn2.at[:, QC, : KC + 1].set(True)  # prompt q -> video + prompt k
-        dyn2 = dyn2.at[:, :QC, KC].set(True)  # video q -> prompt k
-    if ul > 0:
-        dyn2 = dyn2.at[:, QC + 1, KC + 1].set(True)  # padding q -> padding k
+    dyn2 = _extend_text_dyn(dyn_f, layout, QC, KC)
     return dyn2, ext_labels(qlab, QC), ext_sizes(qsz), ext_labels(klab, KC), ext_sizes(ksz)
 
 
@@ -334,8 +366,27 @@ def sap_sparse_attention(
         assert kv_grain % MD.SUB == 0, (kv_grain, MD.SUB)
         QC = -(-vl // bq)
         KC = -(-vl // kv_grain)
-        qlab, qsz, qcent, qperm, qrank = tile_quantize(qf[:, :vl], qlab, bq, QC)
-        klab, ksz, kcent, kperm_t, _ = tile_quantize(kf[:, :vl], klab, kv_grain, KC)
+        # tile partition = one label sort per side (the sort IS the token
+        # permutation; tiles slice it). Only the q side needs the inverse
+        # (token -> padded position); the kv side's rank would only feed
+        # tile labels the CSR path never reads — skipping it drops one
+        # (BH, vl) sort per layer.
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (BH, vl), 1)
+        _, qperm = jax.lax.sort_key_val(qlab, iota_v, dimension=-1)
+        _, qrank = jax.lax.sort_key_val(qperm, iota_v, dimension=-1)
+        _, kperm_t = jax.lax.sort_key_val(klab, iota_v, dimension=-1)
+        qsz = tile_sizes(vl, bq, QC, BH)
+        ksz = tile_sizes(vl, kv_grain, KC, BH)
+        # gather ONCE: these sorted arrays are also the kernel inputs
+        # (step 4 below). The kv tile centroids read the K half of the
+        # packed [K|V] gather — the old standalone K gather (774 MB/layer
+        # at wan-14B geometry, tile_quantize) was not CSE-able against the
+        # packed kernel gather and is gone.
+        qp_video = core_permute.flat_row_gather(qf[:, :vl], qperm)
+        kvp = core_permute.flat_row_gather(
+            pack_kv(kf[:, :vl], vf[:, :vl]), kperm_t)
+        qcent = tile_centroids(qp_video, qsz, bq, QC)
+        kcent = tile_centroids(kvp[..., :D], ksz, kv_grain, KC)
     n_video_qc = QC
 
     # 2. dynamic map (cluster-pair top-p selection)
@@ -386,7 +437,14 @@ def sap_sparse_attention(
         dyn_f, klab, ksz, _ = relabel(dyn.reshape(BH, QC, KC), klab, ksz, kcent)
 
     if text_last:
-        dyn_f, qlab, qsz, klab, ksz = _extend_text_clusters(dyn_f, qlab, qsz, klab, ksz, layout)
+        if use_csr:
+            # tile mode: the static grain-aligned layout below never reads
+            # the extended labels/sizes — extend the map only (the label
+            # extension would otherwise keep dead sorts/labels alive)
+            dyn_f = _extend_text_dyn(dyn_f, layout, QC, KC)
+        else:
+            dyn_f, qlab, qsz, klab, ksz = _extend_text_clusters(
+                dyn_f, qlab, qsz, klab, ksz, layout)
         QC, KC = QC + 2, KC + 2
 
     # 4. permutations. Queries: block-aligned padded layout (each q block
@@ -410,10 +468,10 @@ def sap_sparse_attention(
         # (cluster spans, one-hot block tables, scatter-free pos build) and
         # the second label sorts reduce to one gather per side: measured
         # q-side 102 -> ~35 ms and kv-side 63 -> ~35 ms per wan-14B layer
-        # (probe_tile_breakdown.py round 5).
+        # (probe_tile_breakdown.py round 5). qp_video/kvp were gathered in
+        # the tile branch above (shared with the tile centroids).
         n_video_pad_q = n_video_qc * bq
-        qp = pad_rows(core_permute.flat_row_gather(qf[:, :vl], qperm), n_video_pad_q)
-        kvp = core_permute.flat_row_gather(pack_kv(kf[:, :vl], vf[:, :vl]), kperm_t)
+        qp = pad_rows(qp_video, n_video_pad_q)
         pos = qrank  # video token -> padded position == sorted rank
         if text_last:
             # Grain-aligned CSR layout:
