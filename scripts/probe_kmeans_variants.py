@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sparse_videogen_tpu.utils.benchmark import measure_fenced
+from sparse_videogen_tpu.utils.benchmark import measure, measure_fenced
 
 BIG = 1e30
 
@@ -122,7 +122,7 @@ for K in (300, 125):
     for variant in ("A", "B", "C", "D", "E"):
         f = jax.jit(lambda x, c, v=variant: run(x, c, 512, v))
         out = jax.block_until_ready(f(x, cents))
-        ms = measure_fenced(lambda: f(x, cents), iters=5, warmup=2) * 1e3
+        ms = measure(lambda: f(x, cents), iters=20, warmup=2) * 1e3
         tag = ""
         if variant == "A":
             ref = out

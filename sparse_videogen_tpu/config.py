@@ -189,6 +189,15 @@ class SAPConfig:
     # seriation adjacent selected tiles coalesce into long runs, so most
     # chunks stay full while the top-p map tracks the data more tightly.
     tile_grain: int | None = None
+    # Token ordering that tiles slice (block_mode="tile" only):
+    #   "kmeans" — k-means labels seriated along centroid PC1 (the tile-mode
+    #     default; clusters group tokens in full D dimensions before tiling).
+    #   "pc1" — each token sorted by its own PC1 projection; no k-means at
+    #     all (in tile mode clustering exists ONLY to order tokens — the
+    #     top-p selection runs on tile centroids either way). ~20x cheaper
+    #     map build; tiles are blurrier (1-D ordering), so organic density
+    #     at a given gain runs higher — see sparse/svg2.py token_pc1_keys.
+    tile_order: str = "kmeans"
 
     @property
     def run_qsplit(self) -> int:

@@ -176,6 +176,30 @@ def tile_quantize(x, lab, grain: int, n_tiles: int):
     return tlab, sizes, cent, perm, rank
 
 
+def token_pc1_keys(x):
+    """Per-head token PC1 projections: (BH, S, D) -> (BH, S) f32 sort keys.
+
+    tile_order="pc1": in tile mode clustering exists only to ORDER tokens
+    (the top-p selection runs on tile centroids), so the k-means + seriation
+    + relabel chain can be replaced by sorting each token on its own
+    principal-component projection — two einsum passes over x instead of
+    several Lloyd iterations. 8 fixed power iterations on the token
+    covariance (same scheme as pc1_order); the mean only shifts every key by
+    a constant, so centering of the keys is skipped (sort-invariant).
+    """
+    BH, S, D = x.shape
+    g = jnp.einsum("bsd,bse->bde", x, x, preferred_element_type=jnp.float32)
+    mu = jnp.mean(x.astype(jnp.float32), axis=1)  # (BH, D)
+    cov = g / S - mu[:, :, None] * mu[:, None, :]
+    v = jnp.ones((BH, D, 1), jnp.float32)
+    for _ in range(8):
+        v = cov @ v
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-20)
+    return jnp.einsum(
+        "bsd,bd->bs", x, v[..., 0].astype(x.dtype),
+        preferred_element_type=jnp.float32)
+
+
 def popularity_relabel(dyn_map, klab, ksz, kcent):
     """Relabel KV clusters by descending keep-popularity (layout-only)."""
     from sparse_videogen_tpu.core.permute import gather_small_i32
@@ -346,35 +370,46 @@ def sap_sparse_attention(
     kf = k.reshape(BH, S, D)
     vf = v.reshape(BH, S, D)
 
-    # 1. k-means (warm-startable) over the video part
-    (qlab, qcent, qsz), (klab, kcent, ksz), new_state = sap_cluster(
-        qf[:, :vl], kf[:, :vl], state, cfg, rng
-    )
+    # 1. token ordering. Default: k-means (warm-startable) over the video
+    # part. tile_order="pc1" (tile mode only) orders tokens by their own
+    # PC1 projection instead — in tile mode clustering exists only to
+    # order tokens, so k-means is skipped entirely (token_pc1_keys).
+    tile_mode = cfg.block_mode == "tile"
+    pc1_tiles = tile_mode and cfg.tile_order == "pc1"
+    if pc1_tiles:
+        new_state = state  # the k-means warm-start carry is unused
+    else:
+        (qlab, qcent, qsz), (klab, kcent, ksz), new_state = sap_cluster(
+            qf[:, :vl], kf[:, :vl], state, cfg, rng
+        )
 
-    # 1b. tile mode: quantize the k-means order into fixed hardware tiles
+    # 1b. tile mode: quantize the token order into fixed hardware tiles
     # (q tiles of block_q, KV tiles of block_kv) and select at tile
     # granularity — every selected KV tile is exactly one kernel DMA chunk
-    tile_mode = cfg.block_mode == "tile"
     if tile_mode:
-        # seriate cluster ids along centroid PC1 first: tiles slice the
-        # label-sorted order, and raw k-means ids are arbitrary (see
-        # seriate_labels — without this, tiles mix unrelated clusters and
-        # the blurred tile centroids double the organic top-p density)
-        qlab = seriate_labels(qlab, qcent, qsz, QC)
-        klab = seriate_labels(klab, kcent, ksz, KC)
+        if pc1_tiles:
+            qkeys = token_pc1_keys(qf[:, :vl])
+            kkeys = token_pc1_keys(kf[:, :vl])
+        else:
+            # seriate cluster ids along centroid PC1 first: tiles slice the
+            # key-sorted order, and raw k-means ids are arbitrary (see
+            # seriate_labels — without this, tiles mix unrelated clusters
+            # and the blurred tile centroids double the organic density)
+            qkeys = seriate_labels(qlab, qcent, qsz, QC)
+            kkeys = seriate_labels(klab, kcent, ksz, KC)
         kv_grain = cfg.tile_grain or bkv
         assert kv_grain % MD.SUB == 0, (kv_grain, MD.SUB)
         QC = -(-vl // bq)
         KC = -(-vl // kv_grain)
-        # tile partition = one label sort per side (the sort IS the token
+        # tile partition = one key sort per side (the sort IS the token
         # permutation; tiles slice it). Only the q side needs the inverse
         # (token -> padded position); the kv side's rank would only feed
         # tile labels the CSR path never reads — skipping it drops one
         # (BH, vl) sort per layer.
         iota_v = jax.lax.broadcasted_iota(jnp.int32, (BH, vl), 1)
-        _, qperm = jax.lax.sort_key_val(qlab, iota_v, dimension=-1)
+        _, qperm = jax.lax.sort_key_val(qkeys, iota_v, dimension=-1)
         _, qrank = jax.lax.sort_key_val(qperm, iota_v, dimension=-1)
-        _, kperm_t = jax.lax.sort_key_val(klab, iota_v, dimension=-1)
+        _, kperm_t = jax.lax.sort_key_val(kkeys, iota_v, dimension=-1)
         qsz = tile_sizes(vl, bq, QC, BH)
         ksz = tile_sizes(vl, kv_grain, KC, BH)
         # gather ONCE: these sorted arrays are also the kernel inputs

@@ -58,8 +58,10 @@ def _mk_cfg(**kw):
 import pytest
 
 
-@pytest.mark.parametrize("grain,bkv", [(None, 128), (128, 256), (256, 128)])
-def test_tile_full_density_equals_dense_tiny(grain, bkv):
+@pytest.mark.parametrize("grain,bkv,order", [
+    (None, 128, "kmeans"), (128, 256, "kmeans"), (256, 128, "kmeans"),
+    (None, 128, "pc1"), (256, 128, "pc1")])
+def test_tile_full_density_equals_dense_tiny(grain, bkv, order):
     """top_p=1 selects every tile pair -> exact dense attention (fast gate
     version of the slow fuzz; S deliberately not a tile multiple). The
     second case decouples the selection grain (128) from the kernel chunk
@@ -69,7 +71,7 @@ def test_tile_full_density_equals_dense_tiny(grain, bkv):
     rows and silently dropped attended KV (advisor finding)."""
     H, S, D = 2, 5 * 67, 32
     layout = VideoLayout(num_frames=5, frame_size=67)
-    cfg = _mk_cfg(tile_grain=grain, block_kv=bkv)
+    cfg = _mk_cfg(tile_grain=grain, block_kv=bkv, tile_order=order)
     key = jax.random.PRNGKey(0)
     kq, kk, kv_, ks = jax.random.split(key, 4)
     q = jax.random.normal(kq, (1, H, S, D), jnp.float32)
@@ -240,6 +242,71 @@ def test_tile_topp_text_last_matches_token_oracle():
     outs = []
     for b in range(B * H):
         mask = dyn_n[b][qlab_n[b]][:, klab_n[b]]  # (S, S) token-level
+        logits = qn[b] @ kn[b].T / np.sqrt(D)
+        logits = np.where(mask, logits, -np.inf)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        outs.append(p @ vn[b])
+    oracle = np.stack(outs).reshape(B, H, S, D)
+    rel = np.abs(np.asarray(out) - oracle).max() / np.abs(oracle).max()
+    assert rel < 3e-5, rel
+
+
+def test_tile_pc1_order_topp_matches_token_oracle():
+    """tile_order="pc1" (no k-means; tokens sorted by their own PC1
+    projection) with a real top-p subset: output equals masked dense
+    attention over the token mask implied by the tile dynamic map, where
+    tile(i) = rank-of-PC1-key // grain (svg2.token_pc1_keys)."""
+    from sparse_videogen_tpu.core.dynamic_map import identify_dynamic_map
+
+    rng = np.random.default_rng(29)
+    B, H, D = 1, 2, 48
+    layout = VideoLayout(num_frames=4, frame_size=96)
+    S = layout.seq_len
+    centers = rng.standard_normal((5, D)) * 3
+    qk = centers[rng.integers(0, 5, S)] + 0.2 * rng.standard_normal((S, D))
+    q = jnp.asarray(np.broadcast_to(qk, (B, H, S, D)).copy(), jnp.float32)
+    k = jnp.asarray(q)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    cfg = _mk_cfg(top_p_kmeans=0.85, min_kc_ratio=0.0, block_q=32,
+                  block_kv=128, tile_order="pc1")
+    state = init_sap_state(B * H, D, cfg, dtype=jnp.float32)
+    ks = jax.random.PRNGKey(0)
+    out, _, density = sap_sparse_attention(
+        q, k, v, state, ks, layout=layout, cfg=cfg, with_density=True)
+    d = float(np.mean(np.asarray(density)))
+    assert 0.05 < d < 0.95, d
+
+    # re-derive the PC1 tile partition + dynamic map with the pipeline's own
+    # primitives (bit-identical centroids, so top-p boundary selections
+    # cannot flip)
+    from sparse_videogen_tpu.core import permute as core_permute
+
+    qf = q.reshape(B * H, S, D)
+    kf = k.reshape(B * H, S, D)
+    bq, grain = cfg.block_q, cfg.block_kv
+    QC, KC = -(-S // bq), -(-S // grain)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B * H, S), 1)
+
+    def partition(xs, keys, g, C):
+        _, perm = jax.lax.sort_key_val(keys, iota, dimension=-1)
+        _, rank = jax.lax.sort_key_val(perm, iota, dimension=-1)
+        sz = svg2.tile_sizes(S, g, C, B * H)
+        cent = svg2.tile_centroids(core_permute.flat_row_gather(xs, perm), sz, g, C)
+        return (rank // g).astype(jnp.int32), sz, cent
+
+    qlab, qsz, qcent = partition(qf, svg2.token_pc1_keys(qf), bq, QC)
+    klab, ksz, kcent = partition(kf, svg2.token_pc1_keys(kf), grain, KC)
+    dyn = identify_dynamic_map(
+        qcent.reshape(B, H, QC, D), kcent.reshape(B, H, KC, D),
+        qsz.reshape(B, H, QC), ksz.reshape(B, H, KC),
+        cfg.top_p_kmeans, cfg.min_kc_ratio)
+    dyn_f = np.asarray(dyn.reshape(B * H, QC, KC))
+    qlab, klab = np.asarray(qlab), np.asarray(klab)
+    qn, kn, vn = (np.asarray(t.reshape(B * H, S, D)) for t in (q, k, v))
+    outs = []
+    for b in range(B * H):
+        mask = dyn_f[b][qlab[b]][:, klab[b]]
         logits = qn[b] @ kn[b].T / np.sqrt(D)
         logits = np.where(mask, logits, -np.inf)
         p = np.exp(logits - logits.max(-1, keepdims=True))
