@@ -49,18 +49,18 @@ DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "540"))
 # leg overwrites its fields with provenance "measured".
 CACHED = {
     "date": "2026-08-19",
-    "hyvideo": {"value": 1.981, "dense_step_s": 83.767, "svg1_step_s": 37.682,
-                "dense_step_mfu": 0.1797, "svg1_step_mfu": 0.3993,
-                "sap_e2e_speedup": 1.514, "sap_density": 0.3097,
+    "hyvideo": {"value": 1.986, "dense_step_s": 83.57, "svg1_step_s": 37.48,
+                "dense_step_mfu": 0.1803, "svg1_step_mfu": 0.4019,
+                "sap_e2e_speedup": 1.532, "sap_density": 0.3295,
                 "sap_density_source": "organic", "sap_block_mode": "tile"},
-    "wan": {"value": 1.769, "vs_baseline": 1.172, "sap_e2e_speedup": 1.235,
-            "dense_step_s": 17.772,
+    "wan": {"value": 1.769, "vs_baseline": 1.172, "sap_e2e_speedup": 1.341,
+            "dense_step_s": 17.769,
             "sap_density": 0.2921, "sap_density_source": "organic",
             "sap_block_mode": "tile"},
-    "wan14b": {"value": 1.741, "vs_baseline": 1.153, "sap_e2e_speedup": 1.273,
-               "sap_density": 0.2636, "sap_density_source": "organic",
+    "wan14b": {"value": 1.741, "vs_baseline": 1.153, "sap_e2e_speedup": 1.355,
+               "sap_density": 0.2645, "sap_density_source": "organic",
                "sap_config": {"block_mode": "tile"},
-               "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4789},
+               "dense_step_mfu": 0.2618, "svg1_step_mfu": 0.4785},
     "wan_extra": {"value": 1.357, "vs_baseline": 1.028,
                   "i2v14b_720p_svg1_e2e_speedup": 1.353},
 }

@@ -97,6 +97,10 @@ def main():
                          "--kc and probe_organic_bkv.py")
     ap.add_argument("--qc", type=int, default=400)
     ap.add_argument("--sap_bkv", type=int, default=512)
+    ap.add_argument("--kmeans_iter_step", type=int, default=1,
+                    help="warm-start Lloyd iterations per sparse step; 1 is "
+                         "density-identical to the reference default 2 at "
+                         "-21 ms/layer (probe_tile_order.py)")
     ap.add_argument("--sap_block_mode", type=str, default="tile",
                     choices=["cluster", "tile"],
                     help="'tile' (default) = fixed block_kv tiles of the "
@@ -234,7 +238,8 @@ def main():
         # is the real computation.
         sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
                             top_p_kmeans=0.9, min_kc_ratio=0.10,
-                            kmeans_iter_init=50, kmeans_iter_step=2,
+                            kmeans_iter_init=50,
+                            kmeans_iter_step=args.kmeans_iter_step,
                             block_q=args.sap_block_q, block_kv=args.sap_bkv,
                             block_mode=args.sap_block_mode,
                             # tile mode: metadata rows hold up to one run per

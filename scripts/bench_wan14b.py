@@ -81,6 +81,13 @@ def main():
     ap.add_argument("--sap_bkv", type=int, default=512,
                     help="SAP block_kv; 512 is the fragmented-regime "
                          "optimum (1024 wins only on contiguous/forced maps)")
+    ap.add_argument("--kmeans_iter_step", type=int, default=1,
+                    help="warm-start Lloyd iterations per sparse step. 1 "
+                         "measured bit-identical same-step density to the "
+                         "reference default 2 (the carried centroids "
+                         "converge in one assign) at -21 ms/layer "
+                         "(probe_tile_order.py kmeans1); quality gate runs "
+                         "with the same setting")
     ap.add_argument("--sap_block_mode", type=str, default="tile",
                     choices=["cluster", "tile"],
                     help="SAP selection granularity: 'cluster' = reference "
@@ -140,7 +147,8 @@ def main():
     sap_cfg = SAPConfig(num_q_centroids=args.qc, num_k_centroids=args.kc,
                         block_q=args.sap_bq,
                         top_p_kmeans=0.9, min_kc_ratio=0.10,
-                        kmeans_iter_init=50, kmeans_iter_step=2,
+                        kmeans_iter_init=50,
+                        kmeans_iter_step=args.kmeans_iter_step,
                         block_kv=args.sap_bkv, block_mode=args.sap_block_mode,
                         force_density=None if args.organic else args.density)
 

@@ -52,6 +52,10 @@ def main():
                          "smooth latents, utils/organic.py); measured density "
                          "reported instead of force_density")
     ap.add_argument("--pinned", dest="organic", action="store_false")
+    ap.add_argument("--kmeans_iter_step", type=int, default=1,
+                    help="warm-start Lloyd iterations per sparse step; 1 is "
+                         "density-identical to the reference default 2 at "
+                         "-21 ms/layer (probe_tile_order.py)")
     ap.add_argument("--sap_block_mode", type=str, default="tile",
                     choices=["cluster", "tile"],
                     help="'tile' (default) = fixed block_kv tiles of the "
@@ -104,7 +108,8 @@ def main():
     # 14B geometry (bench_wan14b.py --kc/--sap_bq rationale); cluster-mode
     # runs keep the same knobs for comparability
     sap_cfg = SAPConfig(num_q_centroids=300, num_k_centroids=125, top_p_kmeans=0.9,
-                        min_kc_ratio=0.10, kmeans_iter_init=50, kmeans_iter_step=2,
+                        min_kc_ratio=0.10, kmeans_iter_init=50,
+                        kmeans_iter_step=args.kmeans_iter_step,
                         block_q=512, block_kv=512, block_mode=args.sap_block_mode,
                         force_density=None if args.organic else 0.25)
 

@@ -52,7 +52,7 @@ def main():
     ap.add_argument("--sap_min_psnr", type=float, default=24.0,
                     help="gate: PSNR(dense, sap) must exceed this. SAP is "
                          "a lossier approximation than SVG1 BY DESIGN at "
-                         "telemetry-band density (top-p truncates ~10% of "
+                         "telemetry-band density (top-p truncates ~10%% of "
                          "attention mass per row; the reference's own "
                          "papers report ~29 dB PSNR vs dense) — measured "
                          "here: 43.7 dB at gain 1.0 (flat maps, d~0.5+), "
@@ -65,6 +65,10 @@ def main():
                          "organic-density TPU mode (bench_wan14b.py "
                          "--sap_block_mode); quality is evidenced for the "
                          "recommended config")
+    ap.add_argument("--kmeans_iter_step", type=int, default=1,
+                    help="warm-start Lloyd iterations per sparse step; "
+                         "matches the bench default (1; density-identical "
+                         "to the reference 2, probe_tile_order.py)")
     ap.add_argument("--sap_tile_grain", type=int, default=None,
                     help="tile-mode selection grain (SAPConfig.tile_grain): "
                          "finer grains select more precisely (less tile-"
@@ -130,7 +134,8 @@ def main():
                     top_p_kmeans=0.9, min_kc_ratio=0.10,
                     block_q=512 if not args.smoke else 64, block_kv=512,
                     kmeans_iter_init=50 if not args.smoke else 4,
-                    kmeans_iter_step=2, tile_grain=args.sap_tile_grain)
+                    kmeans_iter_step=args.kmeans_iter_step,
+                    tile_grain=args.sap_tile_grain)
 
     lat = {}
     t0 = time.time()
